@@ -1,0 +1,130 @@
+"""Modulated deformable convolution (DCNv2) for TPU.
+
+TPU-native replacement for the reference CUDA kernels
+(maskrcnn_benchmark/csrc/cuda/deform_conv_cuda.cu,
+ layers/deform_conv.py ModulatedDeformConv), required by every DyConv step of
+the GLIP VLDyHead when USE_DFCONV is on (modeling/rpn/vldyhead.py:186-217).
+
+Strategy: deformable im2col as a batched bilinear gather producing
+(B, Ho, Wo, K*C) patches, followed by ONE large matmul with the (K*C, Cout)
+kernel — the matmul rides the MXU, the gather the VPU. This is the
+bandwidth-optimal decomposition on TPU; a fused Pallas variant can stream the
+gather through VMEM (see ops/pallas/).
+
+Layout: NHWC. Offset channels are ordered (dy0, dx0, dy1, dx1, ...) over the
+3x3 taps in row-major tap order, matching the mmcv/reference layout produced
+by a conv with 18 output channels (vldyhead.py:189-193: offset[:, :18],
+mask[:, 18:27].sigmoid()).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """img (H, W, C); y, x (...,) fractional; returns (..., C).
+
+    Zero padding outside [0, H-1] x [0, W-1] (matching deformable-im2col which
+    zeroes samples with y <= -1 or y >= H).
+    """
+    h, w, _ = img.shape
+    oob = (y <= -1.0) | (y >= h * 1.0) | (x <= -1.0) | (x >= w * 1.0)
+    y0f = jnp.floor(y)
+    x0f = jnp.floor(x)
+    ly, lx = y - y0f, x - x0f
+
+    flat = img.reshape(-1, img.shape[-1])
+
+    def corner(yy, xx):
+        inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+        yc = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        v = flat[yc * w + xc]
+        return jnp.where(inb[..., None], v, 0.0)
+
+    v00 = corner(y0f, x0f)
+    v01 = corner(y0f, x0f + 1)
+    v10 = corner(y0f + 1, x0f)
+    v11 = corner(y0f + 1, x0f + 1)
+    val = (
+        v00 * ((1 - ly) * (1 - lx))[..., None]
+        + v01 * ((1 - ly) * lx)[..., None]
+        + v10 * (ly * (1 - lx))[..., None]
+        + v11 * (ly * lx)[..., None]
+    )
+    return jnp.where(oob[..., None], 0.0, val)
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def modulated_deform_conv(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """DCNv2 with 3x3 kernel, padding 1, dilation 1.
+
+    Args:
+      x:      (B, H, W, C)
+      offset: (B, Ho, Wo, 18)  (dy, dx) per tap
+      mask:   (B, Ho, Wo, 9)   modulation (already sigmoided)
+      weight: (3, 3, C, Cout)  HWIO
+      bias:   (Cout,) or None
+      stride: 1 or 2; Ho = ceil(H / stride)
+
+    Returns: (B, Ho, Wo, Cout)
+    """
+    b, h, w, c = x.shape
+    ho, wo = offset.shape[1], offset.shape[2]
+    kh, kw, _, cout = weight.shape
+    k = kh * kw
+
+    # base sampling grid: p0 + p_k, pad=1
+    ys = jnp.arange(ho, dtype=jnp.float32) * stride - 1.0  # top tap row
+    xs = jnp.arange(wo, dtype=jnp.float32) * stride - 1.0
+    tap_dy = jnp.arange(kh, dtype=jnp.float32)
+    tap_dx = jnp.arange(kw, dtype=jnp.float32)
+    # (Ho, Wo, K)
+    base_y = ys[:, None, None, None] + tap_dy[None, None, :, None] + jnp.zeros((1, wo, 1, kw))
+    base_x = xs[None, :, None, None] + tap_dx[None, None, None, :] + jnp.zeros((ho, 1, kh, 1))
+    base_y = base_y.reshape(ho, wo, k)
+    base_x = base_x.reshape(ho, wo, k)
+
+    off = offset.reshape(b, ho, wo, k, 2)
+    sample_y = base_y[None] + off[..., 0]
+    sample_x = base_x[None] + off[..., 1]
+
+    def per_image(img, yy, xx, m):
+        patches = _bilinear_gather(img, yy, xx)  # (Ho, Wo, K, C)
+        return patches * m[..., None]
+
+    patches = jax.vmap(per_image)(x, sample_y, sample_x, mask)  # (B, Ho, Wo, K, C)
+    patches = patches.reshape(b, ho, wo, k * c)
+    w_mat = weight.transpose(0, 1, 2, 3).reshape(k * c, cout)
+    out = jnp.einsum(
+        "bhwk,ko->bhwo", patches, w_mat, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def resize_offsets(offset: jnp.ndarray, mask: jnp.ndarray, ho: int, wo: int):
+    """Resize an (offset, mask) pair to a new output resolution.
+
+    Used by DyConv when offsets predicted at level L are applied to a conv
+    whose output lives at a different resolution (vldyhead.py:218-227 applies
+    the level-L offsets to convs over levels L±1). Offset VALUES are in units
+    of source pixels of the conv input, so only the field is resampled, not
+    rescaled — matching the stride-2 case where reference offset maps already
+    align 1:1 with the output grid.
+    """
+    b = offset.shape[0]
+    om = jnp.concatenate([offset, mask], axis=-1)
+    om = jax.image.resize(om, (b, ho, wo, om.shape[-1]), method="bilinear")
+    return om[..., :18], om[..., 18:]

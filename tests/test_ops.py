@@ -1,0 +1,138 @@
+"""ROIAlign / focal loss / deform conv / anchors vs torch & numpy references."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mqdet_tpu.ops import roi_align as ra
+from mqdet_tpu.ops import focal_loss as fl
+from mqdet_tpu.ops import deform_conv as dc
+from mqdet_tpu.ops import anchors as anch
+
+
+def test_roi_align_matches_torchvision(rng):
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    feat = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)  # NCHW
+    rois = np.array([[0, 2.0, 2.0, 10.0, 12.0], [0, 0.0, 0.0, 15.0, 15.0]], np.float32)
+    ref = torchvision.ops.roi_align(
+        torch.from_numpy(feat), torch.from_numpy(rois), output_size=7,
+        spatial_scale=0.5, sampling_ratio=2, aligned=True,
+    ).numpy()  # (R, C, 7, 7)
+
+    got = ra.roi_align(
+        jnp.asarray(feat[0].transpose(1, 2, 0)), jnp.asarray(rois[:, 1:]),
+        0.5, output_size=7, sampling_ratio=2,
+    )  # (R, 7, 7, C)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
+
+
+def test_multi_level_roi_align_level_selection(rng):
+    feats = [jnp.asarray(rng.standard_normal((2 ** (6 - i), 2 ** (6 - i), 4)).astype(np.float32)) for i in range(3)]
+    scales = (0.125, 0.0625, 0.03125)
+    rois = jnp.asarray([[0.0, 0.0, 50.0, 50.0], [0.0, 0.0, 400.0, 400.0]])
+    out = ra.multi_level_roi_align(feats, rois, scales)
+    assert out.shape == (2, 7, 7, 4)
+    small = ra.roi_align(feats[0], rois[:1], scales[0])
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(small[0]), atol=1e-5)
+
+
+def test_token_focal_loss_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    logits = rng.standard_normal((2, 5, 8)).astype(np.float32)
+    targets = (rng.uniform(size=(2, 5, 8)) > 0.7).astype(np.float32)
+    mask = np.ones((2, 8), np.float32)
+    mask[:, 6:] = 0
+
+    t_logits = torch.from_numpy(logits)
+    t_targets = torch.from_numpy(targets)
+    tm = torch.from_numpy(mask).bool().unsqueeze(1).repeat(1, 5, 1)
+    pl = torch.masked_select(t_logits, tm)
+    tt = torch.masked_select(t_targets, tm)
+    p = torch.sigmoid(pl)
+    ce = F.binary_cross_entropy_with_logits(pl, tt, reduction="none")
+    p_t = p * tt + (1 - p) * (1 - tt)
+    loss = ce * (1 - p_t) ** 2.0
+    alpha_t = 0.25 * tt + 0.75 * (1 - tt)
+    ref = (alpha_t * loss).sum().item()
+
+    got = fl.token_sigmoid_binary_focal_loss(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+def test_sigmoid_focal_loss_shape_and_background(rng):
+    logits = jnp.asarray(rng.standard_normal((6, 4)).astype(np.float32))
+    targets = jnp.asarray([0, 1, 2, 3, 4, 0])
+    loss = fl.sigmoid_focal_loss(logits, targets)
+    assert loss.shape == (6, 4)
+    assert float(loss.sum()) > 0
+
+
+def test_deform_conv_zero_offset_equals_conv(rng):
+    """With zero offsets and mask=1, DCNv2 == plain 3x3 conv."""
+    x = rng.standard_normal((1, 10, 12, 6)).astype(np.float32)
+    w = rng.standard_normal((3, 3, 6, 8)).astype(np.float32) * 0.1
+    offset = np.zeros((1, 10, 12, 18), np.float32)
+    mask = np.ones((1, 10, 12, 9), np.float32)
+
+    got = dc.modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(w)
+    )
+
+    import jax
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_deform_conv_stride2_shape(rng):
+    x = jnp.asarray(rng.standard_normal((2, 10, 14, 4)).astype(np.float32))
+    offset = jnp.zeros((2, 5, 7, 18))
+    mask = jnp.ones((2, 5, 7, 9))
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 4)).astype(np.float32))
+    out = dc.modulated_deform_conv(x, offset, mask, w, stride=2)
+    assert out.shape == (2, 5, 7, 4)
+
+
+def test_deform_conv_matches_torchvision(rng):
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    x = rng.standard_normal((1, 4, 6, 7)).astype(np.float32)
+    w = rng.standard_normal((5, 4, 3, 3)).astype(np.float32) * 0.2
+    offset = (rng.standard_normal((1, 18, 6, 7)) * 0.7).astype(np.float32)
+    mask = rng.uniform(0.2, 1.0, (1, 9, 6, 7)).astype(np.float32)
+
+    ref = torchvision.ops.deform_conv2d(
+        torch.from_numpy(x), torch.from_numpy(offset), torch.from_numpy(w),
+        padding=1, mask=torch.from_numpy(mask),
+    ).numpy()
+
+    got = dc.modulated_deform_conv(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(offset.transpose(0, 2, 3, 1)),
+        jnp.asarray(mask.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-3
+    )
+
+
+def test_anchor_layout_glip():
+    anchors = anch.anchors_for_fpn((64, 96))
+    assert len(anchors) == 5
+    assert anchors[0].shape == (8 * 12, 4)
+    # cell anchor at stride 8, size 64: centered on (3.5, 3.5), side 64
+    a0 = anchors[0][0]
+    w = a0[2] - a0[0] + 1
+    assert w == 64
+    np.testing.assert_allclose((a0[0] + a0[2]) / 2, 3.5)
+    # shift by one cell along x
+    np.testing.assert_allclose(anchors[0][1] - anchors[0][0], [8, 0, 8, 0])
