@@ -1,0 +1,253 @@
+"""Swin Transformer backbone (v1) — TPU-native flax implementation.
+
+Capability twin of the reference GLIP backbone
+(maskrcnn_benchmark/modeling/backbone/swint.py:431-649): patch embed 4x4,
+four stages with windowed attention + relative position bias, shifted
+windows, patch merging, per-output LayerNorm (identity for stage2 under the
+RETINANET arch, swint.py:544-552).
+
+TPU-first choices:
+  * NHWC throughout; all spatial sizes are static at trace time, so window
+    padding, shift masks and relative-position indices are precomputed in
+    numpy — zero dynamic shapes inside jit.
+  * windows are batched into a single (B*nW, ws*ws, C) attention — one large
+    MXU matmul per block instead of per-window loops.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mqdet_tpu.models.layers import DropPath, Mlp
+
+Dtype = Any
+
+
+def _rel_pos_index(ws: int) -> np.ndarray:
+    """Static relative-position index for a (ws, ws) window."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, n, n)
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # (n, n)
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Static SW-MSA mask (swint.py BasicLayer img_mask): (nW, n, n) additive."""
+    img_mask = np.zeros((hp, wp))
+    h_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    w_slices = (slice(0, -ws), slice(-ws, -shift), slice(-shift, None))
+    cnt = 0
+    for h in h_slices:
+        for w in w_slices:
+            img_mask[h, w] = cnt
+            cnt += 1
+    mw = img_mask.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    mw = mw.reshape(-1, ws * ws)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*nW, ws*ws, C); H, W must be multiples of ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_reverse(win: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    b = win.shape[0] // ((h // ws) * (w // ws))
+    x = win.reshape(b, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, -1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        """x: (B_, n, C); mask: (nW, n, n) additive or None."""
+        b_, n, c = x.shape
+        h = self.num_heads
+        head_dim = c // h
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) ** 2, h),
+        )
+        idx = _rel_pos_index(self.window_size).reshape(-1)
+        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # (h, n, n)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b_, h, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    drop_path_rate: float
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int, deterministic=True):
+        """x: (B, H*W, C) with static (h, w)."""
+        ws = self.window_size
+        # if the whole map fits in one window, shifting is a no-op modulo the
+        # roll; disable it (standard Swin rule when window_size >= min(H, W))
+        shift = self.shift_size if min(h, w) > ws else 0
+        b, _, c = x.shape
+        shortcut = x
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+
+        hp = -(-h // ws) * ws
+        wp = -(-w // ws) * ws
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+        else:
+            mask = None
+        # padded rows/cols attend freely in non-shifted windows (the reference
+        # does the same: padding participates, then is cropped).
+        xw = window_partition(x, ws)
+        xw = WindowAttention(
+            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+        )(xw, mask=mask, deterministic=deterministic)
+        x = window_reverse(xw, ws, hp, wp)
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = x[:, :h, :w].reshape(b, h * w, c)
+
+        x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
+            x, deterministic=deterministic
+        )
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
+            y, deterministic=deterministic
+        )
+        return x + DropPath(self.drop_path_rate, name="drop_path2")(
+            y, deterministic=deterministic
+        )
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        b, _, c = x.shape
+        x = x.reshape(b, h, w, c)
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        ho, wo = (h + 1) // 2, (w + 1) // 2
+        x = x.reshape(b, ho * wo, 4 * c)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+        return x, ho, wo
+
+
+class SwinTransformer(nn.Module):
+    """Returns the four stage outputs as NHWC maps (strides 4, 8, 16, 32)."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    patch_norm: bool = True
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    # RETINANET arch: no out-norm on stage 0 (swint.py:544-552)
+    norm_stage0: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: (B, H, W, 3), H/W arbitrary (padded to /4 internally)."""
+        b, h, w, _ = x.shape
+        ph = (-h) % 4
+        pw = (-w) % 4
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        x = nn.Conv(
+            self.embed_dim, (4, 4), strides=(4, 4), padding="VALID",
+            dtype=self.dtype, name="patch_embed_proj",
+        )(x)
+        hh, ww = x.shape[1], x.shape[2]
+        x = x.reshape(b, hh * ww, self.embed_dim)
+        if self.patch_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="patch_embed_norm")(x)
+
+        total = sum(self.depths)
+        dpr = np.linspace(0, self.drop_path_rate, total)
+
+        outs = []
+        block_i = 0
+        dim = self.embed_dim
+        for i_layer, depth in enumerate(self.depths):
+            for d in range(depth):
+                x = SwinBlock(
+                    dim=dim,
+                    num_heads=self.num_heads[i_layer],
+                    window_size=self.window_size,
+                    shift_size=0 if d % 2 == 0 else self.window_size // 2,
+                    mlp_ratio=self.mlp_ratio,
+                    drop_path_rate=float(dpr[block_i]),
+                    dtype=self.dtype,
+                    name=f"layers_{i_layer}_blocks_{d}",
+                )(x, hh, ww, deterministic=deterministic)
+                block_i += 1
+
+            if i_layer in self.out_indices:
+                if i_layer == 0 and not self.norm_stage0:
+                    out = x
+                else:
+                    out = nn.LayerNorm(dtype=self.dtype, name=f"norm{i_layer}")(x)
+                outs.append(out.reshape(b, hh, ww, dim))
+
+            if i_layer < len(self.depths) - 1:
+                x, hh, ww = PatchMerging(
+                    dim=dim, dtype=self.dtype, name=f"layers_{i_layer}_downsample"
+                )(x, hh, ww)
+                dim *= 2
+
+        return outs

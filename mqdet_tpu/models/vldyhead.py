@@ -1,0 +1,270 @@
+"""VLDyHead — GLIP's fused dynamic head, TPU-native.
+
+Capability twin of maskrcnn_benchmark/modeling/rpn/vldyhead.py:52-900:
+NUM_CONVS x [VLFuse (bi-attention) -> BertEncoderLayer (text self-attn) ->
+DyConv (dynamic conv: modulated deform conv + scale-attention fuse + DYReLU)]
+followed by cls / bbox / centerness convs and the dot-product token head.
+
+TPU-first choices:
+  * NHWC; deformable conv is the gather+matmul composite in ops/deform_conv.
+  * The reference predicts DCN offsets at level L and applies them to convs
+    whose outputs live at L-1-sized or L+1-sized grids. For the stride-2 down
+    conv the grids already agree; for the up conv we bilinearly resample the
+    offset field to the finer grid (the reference CUDA kernel silently reads
+    the coarse buffer with the wrong strides — not behavior worth cloning).
+  * The dot-product head computes one (sum(HW), T) matmul per level on the
+    MXU; the +-50000 clamps are kept (cheap, preserves parity of extreme
+    logits).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mqdet_tpu.models.bert import BertLayer
+from mqdet_tpu.models.fusion import VLFuse
+from mqdet_tpu.models.layers import (
+    DYReLU,
+    Scale,
+    h_sigmoid,
+    upsample_bilinear,
+)
+from mqdet_tpu.ops.deform_conv import modulated_deform_conv, resize_offsets
+
+Dtype = Any
+
+
+class DeformConvGN(nn.Module):
+    """Conv3x3Norm with deformable conv + GroupNorm (vldyhead.py:113-155)."""
+
+    features: int
+    stride: int = 1
+    groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset, mask):
+        w = self.param(
+            "kernel", nn.initializers.normal(0.01), (3, 3, x.shape[-1], self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        ho = -(-x.shape[1] // self.stride)
+        wo = -(-x.shape[2] // self.stride)
+        if offset.shape[1] != ho or offset.shape[2] != wo:
+            offset, mask = resize_offsets(offset, mask, ho, wo)
+        y = modulated_deform_conv(
+            x, offset.astype(x.dtype), mask.astype(x.dtype),
+            w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
+        )
+        return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
+
+
+class PlainConvGN(nn.Module):
+    features: int
+    stride: int = 1
+    groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, offset=None, mask=None):
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride), padding=1,
+            kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="conv",
+        )(x)
+        return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
+
+
+class DyConv(nn.Module):
+    """Dynamic conv over the pyramid (vldyhead.py:158-247).
+
+    For each level L: mean of {conv_s1(L), conv_s2(L-1), up(conv_s1(L+1))}
+    weighted by per-feature scale attention, then DYReLU.
+    """
+
+    channels: int = 256
+    use_deform: bool = True
+    use_dyfuse: bool = True
+    use_dyrelu: bool = True
+    gn_groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        conv_cls = DeformConvGN if self.use_deform else PlainConvGN
+        # DyConv[0]: applied to level+1 (stride 1); DyConv[1]: current level;
+        # DyConv[2]: level-1 (stride 2) — vldyhead.py:166-171
+        conv_hi = conv_cls(self.channels, 1, self.gn_groups, self.dtype, name="dyconv_0")
+        conv_mid = conv_cls(self.channels, 1, self.gn_groups, self.dtype, name="dyconv_1")
+        conv_lo = conv_cls(self.channels, 2, self.gn_groups, self.dtype, name="dyconv_2")
+
+        if self.use_deform:
+            offset_conv = nn.Conv(
+                27, (3, 3), padding=1, dtype=self.dtype, name="offset"
+            )
+        if self.use_dyfuse:
+            attn_conv = nn.Conv(
+                1, (1, 1), kernel_init=nn.initializers.normal(0.01),
+                dtype=self.dtype, name="attn_conv",
+            )
+        relu = (
+            DYReLU(self.channels, dtype=self.dtype, name="dyrelu")
+            if self.use_dyrelu
+            else None
+        )
+
+        num_levels = len(feats)
+        outs = []
+        for level, feature in enumerate(feats):
+            if self.use_deform:
+                om = offset_conv(feature)
+                offset = om[..., :18]
+                mask = nn.sigmoid(om[..., 18:27])
+                args = (offset, mask)
+            else:
+                args = (None, None)
+
+            temp = [conv_mid(feature, *args)]
+            if level > 0:
+                temp.append(conv_lo(feats[level - 1], *args))
+            if level < num_levels - 1:
+                up = conv_hi(feats[level + 1], *args)
+                temp.append(
+                    upsample_bilinear(up, feature.shape[1], feature.shape[2])
+                )
+
+            stacked = jnp.stack(temp)  # (K, B, H, W, C)
+            if self.use_dyfuse:
+                # AttnConv = avgpool -> 1x1 conv -> relu, then h_sigmoid over
+                # the stack (vldyhead.py:172-179, 232-238)
+                attn = jnp.stack(
+                    [h_sigmoid(nn.relu(attn_conv(jnp.mean(f, axis=(1, 2), keepdims=True)))) for f in temp]
+                )  # (K, B, 1, 1, 1)
+                mean_fea = jnp.mean(stacked * attn, axis=0)
+            else:
+                mean_fea = jnp.mean(stacked, axis=0)
+            outs.append(mean_fea)
+
+        if relu is not None:
+            outs = [relu(o) for o in outs]
+        else:
+            outs = [nn.relu(o) for o in outs]
+        return outs
+
+
+class VLDyHead(nn.Module):
+    """The full fused head. Returns per-level predictions + fused language."""
+
+    num_convs: int = 6
+    channels: int = 256
+    in_channels: int = 256
+    lang_dim: int = 768
+    lang_heads: int = 12
+    lang_intermediate: int = 3072
+    num_classes: int = 80  # NUM_CLASSES - 1
+    log_scale_init: float = 0.0
+    prior_prob: float = 0.01
+    use_deform: bool = True
+    use_dyfuse: bool = True
+    use_dyrelu: bool = True
+    early_fuse: bool = True
+    use_fused_dot_product: bool = True
+    gn_groups: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: List[jnp.ndarray],
+        lang_hidden: jnp.ndarray,
+        lang_masks: jnp.ndarray,
+        embedding: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        attn_bias = (1.0 - lang_masks[:, None, None, :].astype(jnp.float32)) * -10000.0
+
+        visual = feats
+        for i in range(self.num_convs):
+            if self.early_fuse:
+                visual, lang_hidden = VLFuse(
+                    num_convs=self.num_convs, v_dim=self.channels,
+                    l_dim=self.lang_dim, dtype=self.dtype, name=f"fuse_{i}",
+                )(visual, lang_hidden, lang_masks, deterministic)
+                lang_hidden = BertLayer(
+                    hidden_size=self.lang_dim, num_heads=self.lang_heads,
+                    intermediate_size=self.lang_intermediate, dtype=self.dtype,
+                    name=f"lang_layer_{i}",
+                )(lang_hidden, attn_bias, deterministic)
+            visual = DyConv(
+                channels=self.channels,
+                use_deform=self.use_deform,
+                use_dyfuse=self.use_dyfuse,
+                use_dyrelu=self.use_dyrelu,
+                gn_groups=self.gn_groups,
+                dtype=self.dtype,
+                name=f"dyconv_tower_{i}",
+            )(visual)
+
+        bias_value = -math.log((1 - self.prior_prob) / self.prior_prob)
+
+        cls_conv = nn.Conv(
+            self.num_classes, (1, 1),
+            kernel_init=nn.initializers.normal(0.01),
+            bias_init=nn.initializers.constant(bias_value),
+            dtype=self.dtype, name="cls_logits",
+        )
+        bbox_conv = nn.Conv(
+            4, (1, 1), kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype, name="bbox_pred",
+        )
+        ctr_conv = nn.Conv(
+            1, (1, 1), kernel_init=nn.initializers.normal(0.01),
+            dtype=self.dtype, name="centerness",
+        )
+
+        # dot-product soft-token head (vldyhead.py:705-720, 846-875)
+        if self.use_fused_dot_product:
+            embedding = lang_hidden
+        assert embedding is not None
+        emb = embedding / jnp.linalg.norm(embedding, axis=-1, keepdims=True).clip(1e-6)
+        proj_text = nn.Dense(
+            self.channels, dtype=self.dtype, name="dot_product_projection_text"
+        )(emb / 2.0)  # (B, T, C)
+        bias_lang = self.param("bias_lang", nn.initializers.zeros, (self.lang_dim,))
+        bias0 = self.param("bias0", nn.initializers.constant(bias_value), (1,))
+        dot_bias = jnp.einsum("btd,d->bt", emb, bias_lang) + bias0  # (B, T)
+        log_scale = self.param(
+            "log_scale", nn.initializers.constant(self.log_scale_init), (1,)
+        )
+        inv_scale = jnp.exp(-log_scale)
+
+        logits, bbox_reg, centerness, dot_product_logits = [], [], [], []
+        for level, x in enumerate(visual):
+            b, h, w, c = x.shape
+            logits.append(cls_conv(x))
+            bbox = bbox_conv(x)
+            bbox = Scale(1.0, name=f"scale_{level}")(bbox)
+            bbox_reg.append(bbox)
+            centerness.append(ctr_conv(x))
+
+            q = x.reshape(b, h * w, c)
+            dp = (
+                jnp.einsum(
+                    "bnc,btc->bnt", q, proj_text, preferred_element_type=jnp.float32
+                )
+                * inv_scale
+                + dot_bias[:, None, :]
+            )
+            dp = jnp.clip(dp, -50000.0, 50000.0)
+            dot_product_logits.append(dp)
+
+        return {
+            "logits": logits,                     # [(B, H, W, num_classes)]
+            "bbox_reg": bbox_reg,                 # [(B, H, W, 4)]
+            "centerness": centerness,             # [(B, H, W, 1)]
+            "dot_product_logits": dot_product_logits,  # [(B, HW, T)]
+            "fused_lang_hidden": lang_hidden,     # (B, T, lang_dim)
+        }
