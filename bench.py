@@ -1,0 +1,97 @@
+"""Benchmark: MQ-GLIP-T LVIS-style chunked-eval throughput on one TPU chip.
+
+Protocol (mirrors the reference LVIS MiniVal evaluation,
+maskrcnn_benchmark/engine/inference.py:577-648): 1203 classes -> 31 prompt
+chunks of <=40 classes; every image is scored against every chunk. The
+reference runs 31 sequential batch-1 forwards per image on GPU; this build
+runs chunk-batched compiled forwards (backbone work amortized only via
+batching; text/GCP/fusion dominate the per-chunk cost).
+
+Reported metric: images/sec/chip for the full 31-chunk protocol, including
+decode + class-aware NMS on device. `vs_baseline` compares against the
+estimated A100 reference throughput for the same protocol (~0.25 img/s:
+31 forwards x ~130 ms batch-1 A100 GLIP-T forward; the reference publishes
+no throughput numbers — BASELINE.md). Target >= 3x => vs_baseline >= 3.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_IMG_PER_SEC = 0.25  # estimated reference protocol throughput
+CHUNKS_PER_IMAGE = 31  # ceil(1203 / 40)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.engine.predict import make_predict_fn
+    from mqdet_tpu.utils.builders import build_model, mq_glip_t_config, synthetic_batch
+
+    cfg = mq_glip_t_config()
+    cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 300
+    image_hw = (800, 1344)
+    chunk_batch = 4  # prompt chunks evaluated per forward
+
+    model = build_model(cfg)
+    batch = synthetic_batch(
+        cfg, batch=chunk_batch, image_hw=image_hw, num_labels=40, k_shot=5
+    )
+    args = (
+        jnp.asarray(batch["images"]),
+        jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["attention_mask"]),
+        jnp.asarray(batch["queries"]),
+        jnp.asarray(batch["query_mask"]),
+    )
+    from mqdet_tpu.utils.builders import init_params_fast
+
+    params = init_params_fast(model, *args)
+
+    def apply_fn(p, *a, **kw):
+        kw.pop("rngs", None)
+        return model.apply(p, *a, **kw)
+
+    predict = make_predict_fn(apply_fn, image_hw, cfg)
+
+    agg_map = jnp.asarray(batch["agg_map"])
+    sizes = jnp.asarray(batch["image_sizes"])
+
+    def run():
+        return predict(
+            params, args[0], args[1], args[2], args[3], args[4], agg_map, sizes
+        )
+
+    # warmup / compile
+    out = run()
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    forwards_per_image = CHUNKS_PER_IMAGE / chunk_batch
+    img_per_sec = 1.0 / (dt * forwards_per_image)
+    p50_latency_ms = dt * 1000.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip (MQ-GLIP-T, LVIS 31-chunk protocol)",
+                "value": round(img_per_sec, 4),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
+                "chunk_batch": chunk_batch,
+                "sec_per_forward": round(dt, 4),
+                "p50_forward_ms": round(p50_latency_ms, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

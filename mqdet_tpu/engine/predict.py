@@ -1,0 +1,89 @@
+"""Inference: ONE compiled forward from pixels to final detections.
+
+Replaces the reference eval loop's per-image, per-chunk python orchestration
+(maskrcnn_benchmark/engine/inference.py:577-648 — 31 sequential forwards per
+LVIS image, batch size 1, host NMS) with a single jit containing backbone +
+GCP-BERT + VLDyHead + decode + class-aware NMS. Prompt chunks ride the batch
+axis: a (chunks x images) grid is flattened into the leading dimension, so
+one forward evaluates several class chunks of several images at once — the
+single biggest throughput win over the reference on TPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mqdet_tpu.core.detections import Detections
+from mqdet_tpu.models.postprocess import PostprocessParams, atss_postprocess
+from mqdet_tpu.ops.anchors import anchors_for_fpn
+
+
+def make_predict_fn(
+    model_apply: Callable,
+    image_hw: Tuple[int, int],
+    cfg,
+) -> Callable:
+    """Build the jitted end-to-end predict function for one image bucket.
+
+    Returned signature:
+      predict(params, images, input_ids, attention_mask, queries, query_mask,
+              agg_map, image_sizes) -> Detections (batched)
+
+      agg_map: (B, C, T) per-item class-token aggregation matrices
+      image_sizes: (B, 2) true (h, w) before padding, for box clipping
+    """
+    anchors_np = anchors_for_fpn(
+        image_hw,
+        strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+        sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+        aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+    )
+    anchors_levels = [jnp.asarray(a) for a in anchors_np]
+    p = PostprocessParams(
+        pre_nms_thresh=cfg.MODEL.ATSS.INFERENCE_TH,
+        pre_nms_top_n=cfg.MODEL.ATSS.PRE_NMS_TOP_N,
+        nms_thresh=cfg.MODEL.ATSS.NMS_TH,
+        detections_per_img=cfg.MODEL.ATSS.DETECTIONS_PER_IMG,
+        min_size=0.0,
+        score_agg=cfg.MODEL.DYHEAD.SCORE_AGG,
+    )
+
+    use_queries = cfg.VISION_QUERY.ENABLED
+
+    @jax.jit
+    def predict(
+        params,
+        images,
+        input_ids,
+        attention_mask,
+        queries,
+        query_mask,
+        agg_map,
+        image_sizes,
+    ) -> Detections:
+        head_out = model_apply(
+            params,
+            images,
+            input_ids,
+            attention_mask,
+            queries if use_queries else None,
+            query_mask if use_queries else None,
+            deterministic=True,
+        )
+        return atss_postprocess(head_out, anchors_levels, agg_map, image_sizes, p)
+
+    return predict
+
+
+def pad_image_to_bucket(
+    image: np.ndarray, bucket_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Host-side: zero-pad an (H, W, 3) image to the static bucket size."""
+    h, w = bucket_hw
+    out = np.zeros((h, w, image.shape[-1]), image.dtype)
+    out[: image.shape[0], : image.shape[1]] = image
+    return out
