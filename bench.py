@@ -26,7 +26,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mqdet_tpu.engine.predict import make_predict_fn
+    from mqdet_tpu.engine.predict import make_split_predict_fns
     from mqdet_tpu.utils.builders import build_model, mq_glip_t_config, synthetic_batch
 
     cfg = mq_glip_t_config()
@@ -49,34 +49,52 @@ def main():
 
     params = init_params_fast(model, *args)
 
-    def apply_fn(p, *a, **kw):
-        kw.pop("rngs", None)
-        return model.apply(p, *a, **kw)
-
-    predict = make_predict_fn(apply_fn, image_hw, cfg)
+    encode_fn, head_fn = make_split_predict_fns(model, image_hw, cfg)
 
     agg_map = jnp.asarray(batch["agg_map"])
     sizes = jnp.asarray(batch["image_sizes"])
+    one_image = args[0][:1]
 
-    def run():
-        return predict(
-            params, args[0], args[1], args[2], args[3], args[4], agg_map, sizes
-        )
+    def run_image():
+        """Full LVIS protocol for ONE image: 1 backbone + 31-chunk head."""
+        feats = encode_fn(params, one_image)
+        outs = []
+        n_head = -(-CHUNKS_PER_IMAGE // chunk_batch)
+        for _ in range(n_head):
+            outs.append(
+                head_fn(params, feats, args[1], args[2], args[3], args[4],
+                        agg_map, sizes)
+            )
+        return outs
 
     # warmup / compile
-    out = run()
-    jax.block_until_ready(out)
+    jax.block_until_ready(run_image())
 
-    iters = 5
+    # split timings
+    feats = encode_fn(params, one_image)
+    jax.block_until_ready(feats)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        feats = encode_fn(params, one_image)
+    jax.block_until_ready(feats)
+    t_backbone = (time.perf_counter() - t0) / 5
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = head_fn(params, feats, args[1], args[2], args[3], args[4],
+                      agg_map, sizes)
+    jax.block_until_ready(out)
+    t_head = (time.perf_counter() - t0) / 5
+
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        outs = run_image()
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / iters  # sec per image, full protocol
 
-    forwards_per_image = CHUNKS_PER_IMAGE / chunk_batch
-    img_per_sec = 1.0 / (dt * forwards_per_image)
-    p50_latency_ms = dt * 1000.0
+    img_per_sec = 1.0 / dt
+    p50_latency_ms = t_head * 1000.0
 
     print(
         json.dumps(
@@ -86,8 +104,9 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
                 "chunk_batch": chunk_batch,
-                "sec_per_forward": round(dt, 4),
-                "p50_forward_ms": round(p50_latency_ms, 2),
+                "sec_per_image": round(dt, 4),
+                "backbone_ms": round(t_backbone * 1000, 2),
+                "head_ms_per_chunkbatch": round(p50_latency_ms, 2),
             }
         )
     )

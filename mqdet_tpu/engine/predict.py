@@ -87,3 +87,58 @@ def pad_image_to_bucket(
     out = np.zeros((h, w, image.shape[-1]), image.dtype)
     out[: image.shape[0], : image.shape[1]] = image
     return out
+
+
+def make_split_predict_fns(model, image_hw: Tuple[int, int], cfg):
+    """Backbone-once / head-per-chunk split for chunked evaluation.
+
+    Returns (encode_fn, head_fn):
+      encode_fn(params, images (1,H,W,3)) -> fpn_feats (tuple of 5 NHWC maps)
+      head_fn(params, fpn_feats, input_ids (C,T), attention_mask, queries,
+              query_mask, agg_map (C,Cls,T), image_sizes (C,2)) -> Detections
+
+    The image tower runs once per image; only the text-conditioned head
+    (GCP-BERT + fusion + VLDyHead + NMS) runs per class chunk. The reference
+    recomputes everything for each of its 31 sequential chunk forwards.
+    """
+    anchors_np = anchors_for_fpn(
+        image_hw,
+        strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+        sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+        aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+    )
+    anchors_levels = [jnp.asarray(a) for a in anchors_np]
+    p = PostprocessParams(
+        pre_nms_thresh=cfg.MODEL.ATSS.INFERENCE_TH,
+        pre_nms_top_n=cfg.MODEL.ATSS.PRE_NMS_TOP_N,
+        nms_thresh=cfg.MODEL.ATSS.NMS_TH,
+        detections_per_img=cfg.MODEL.ATSS.DETECTIONS_PER_IMG,
+        min_size=0.0,
+        score_agg=cfg.MODEL.DYHEAD.SCORE_AGG,
+    )
+    use_queries = cfg.VISION_QUERY.ENABLED
+    model_cls = type(model)
+
+    @jax.jit
+    def encode_fn(params, images):
+        return tuple(
+            model.apply(params, images, method=model_cls.encode_image)
+        )
+
+    @jax.jit
+    def head_fn(
+        params, fpn_feats, input_ids, attention_mask, queries, query_mask,
+        agg_map, image_sizes,
+    ) -> Detections:
+        head_out = model.apply(
+            params,
+            list(fpn_feats),
+            input_ids,
+            attention_mask,
+            queries if use_queries else None,
+            query_mask if use_queries else None,
+            method=model_cls.forward_head,
+        )
+        return atss_postprocess(head_out, anchors_levels, agg_map, image_sizes, p)
+
+    return encode_fn, head_fn

@@ -13,10 +13,16 @@ Device ABI (all static shapes):
 
 Ragged work (caption tokenization, bank selection, positive maps) happens
 host-side in mqdet_tpu.mq / mqdet_tpu.data; the model is a pure function.
+
+TPU-first split: `encode_image` (Swin+FPN, text-independent) and
+`forward_head` (GCP-BERT + VLFuse + VLDyHead, text-dependent) are separately
+jittable. Chunked LVIS evaluation runs the image tower ONCE per image and
+only the head per class chunk — the reference recomputes the entire network
+for each of its 31 sequential chunk forwards (engine/inference.py:603-648).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -65,9 +71,7 @@ class MQGLIP(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, dtype=None):
-        import jax.numpy as jnp_
-
-        dt = dtype or getattr(jnp_, cfg.TPU.COMPUTE_DTYPE)
+        dt = dtype or getattr(jnp, cfg.TPU.COMPUTE_DTYPE)
         return cls(
             embed_dim=cfg.MODEL.SWINT.EMBED_DIM,
             depths=tuple(cfg.MODEL.SWINT.DEPTHS),
@@ -88,19 +92,8 @@ class MQGLIP(nn.Module):
             dtype=dt,
         )
 
-    @nn.compact
-    def __call__(
-        self,
-        images: jnp.ndarray,
-        input_ids: jnp.ndarray,
-        attention_mask: jnp.ndarray,
-        queries: Optional[jnp.ndarray] = None,
-        query_mask: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-    ) -> Dict[str, Any]:
-        images = images.astype(self.dtype)
-
-        stage_feats = SwinTransformer(
+    def setup(self):
+        self.backbone = SwinTransformer(
             embed_dim=self.embed_dim,
             depths=self.depths,
             num_heads=self.num_heads,
@@ -108,17 +101,9 @@ class MQGLIP(nn.Module):
             drop_path_rate=self.drop_path_rate,
             dtype=self.dtype,
             name="backbone",
-        )(images, deterministic=deterministic)
-
-        fpn_feats = FPN(out_channels=self.out_channels, dtype=self.dtype, name="fpn")(
-            stage_feats[1:4]
         )
-
-        image_tokens = None
-        if queries is not None:
-            image_tokens = flatten_fpn_features(fpn_feats)
-
-        lang = LanguageBackbone(
+        self.fpn = FPN(out_channels=self.out_channels, dtype=self.dtype, name="fpn")
+        self.language_backbone = LanguageBackbone(
             num_layers=self.lang_layers,
             hidden_size=self.lang_dim,
             num_heads=self.lang_heads,
@@ -129,16 +114,8 @@ class MQGLIP(nn.Module):
             vision_scale=self.vision_scale,
             dtype=self.dtype,
             name="language_backbone",
-        )(
-            input_ids,
-            attention_mask,
-            queries=queries.astype(self.dtype) if queries is not None else None,
-            query_mask=query_mask,
-            image_tokens=image_tokens,
-            deterministic=deterministic,
         )
-
-        head_out = VLDyHead(
+        self.rpn = VLDyHead(
             num_convs=self.num_convs,
             channels=self.out_channels,
             in_channels=self.out_channels,
@@ -149,7 +126,48 @@ class MQGLIP(nn.Module):
             log_scale_init=self.log_scale_init,
             dtype=self.dtype,
             name="rpn",
-        )(
+        )
+
+    def encode_image(self, images: jnp.ndarray, deterministic: bool = True):
+        """Text-independent image tower: Swin + FPN -> 5 pyramid levels."""
+        images = images.astype(self.dtype)
+        stage_feats = self.backbone(images, deterministic=deterministic)
+        return self.fpn(stage_feats[1:4])
+
+    def forward_head(
+        self,
+        fpn_feats: List[jnp.ndarray],
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        queries: Optional[jnp.ndarray] = None,
+        query_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        """Text-dependent part: GCP-BERT + VLFuse/VLDyHead.
+
+        fpn_feats may have batch 1 while the text inputs have batch C (chunk
+        parallelism); features are broadcast to the text batch.
+        """
+        b_text = input_ids.shape[0]
+        if fpn_feats[0].shape[0] == 1 and b_text > 1:
+            fpn_feats = [
+                jnp.broadcast_to(f, (b_text,) + f.shape[1:]) for f in fpn_feats
+            ]
+
+        image_tokens = None
+        if queries is not None:
+            image_tokens = flatten_fpn_features(fpn_feats)
+
+        lang = self.language_backbone(
+            input_ids,
+            attention_mask,
+            queries=queries.astype(self.dtype) if queries is not None else None,
+            query_mask=query_mask,
+            image_tokens=image_tokens,
+            deterministic=deterministic,
+        )
+
+        head_out = self.rpn(
             fpn_feats,
             lang["hidden"],
             lang["masks"],
@@ -157,5 +175,20 @@ class MQGLIP(nn.Module):
             deterministic=deterministic,
         )
         head_out["lang"] = lang
-        head_out["fpn_feats"] = fpn_feats
         return head_out
+
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        queries: Optional[jnp.ndarray] = None,
+        query_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        fpn_feats = self.encode_image(images, deterministic)
+        out = self.forward_head(
+            fpn_feats, input_ids, attention_mask, queries, query_mask, deterministic
+        )
+        out["fpn_feats"] = fpn_feats
+        return out

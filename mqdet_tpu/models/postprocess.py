@@ -28,7 +28,7 @@ import numpy as np
 
 from mqdet_tpu.core import boxes as box_ops
 from mqdet_tpu.core.detections import Detections
-from mqdet_tpu.ops.nms import class_aware_nms
+from mqdet_tpu.ops.nms import class_aware_nms_matrix
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
@@ -112,7 +112,7 @@ def atss_postprocess_single(
     labels = jnp.concatenate([x[2] for x in parts])
     valid = jnp.concatenate([x[3] for x in parts])
 
-    keep_idx, keep_valid = class_aware_nms(
+    keep_idx, keep_valid = class_aware_nms_matrix(
         boxes, jnp.where(valid, scores, NEG_INF), labels, valid,
         p.nms_thresh, p.detections_per_img,
     )
@@ -137,16 +137,12 @@ def atss_postprocess(
     ctr = [x.reshape(b, -1) for x in head_out["centerness"]]
     dot = head_out["dot_product_logits"]
 
-    def single(i):
+    if agg_map.ndim == 2:
+        agg_map = jnp.broadcast_to(agg_map[None], (b,) + agg_map.shape)
+
+    def single(bbox_i, ctr_i, dot_i, agg_i, size_i):
         return atss_postprocess_single(
-            [x[i] for x in bbox],
-            [x[i] for x in ctr],
-            [x[i] for x in dot],
-            anchors_levels,
-            agg_map if agg_map.ndim == 2 else agg_map[i],
-            image_sizes[i, 0],
-            image_sizes[i, 1],
-            p,
+            bbox_i, ctr_i, dot_i, anchors_levels, agg_i, size_i[0], size_i[1], p
         )
-    dets = [single(i) for i in range(b)]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *dets)
+
+    return jax.vmap(single)(bbox, ctr, dot, agg_map, image_sizes)

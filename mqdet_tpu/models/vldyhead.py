@@ -33,17 +33,26 @@ from mqdet_tpu.models.layers import (
     h_sigmoid,
     upsample_bilinear,
 )
-from mqdet_tpu.ops.deform_conv import modulated_deform_conv, resize_offsets
+from mqdet_tpu.ops.deform_conv import (
+    modulated_deform_conv_window,
+    resize_offsets,
+)
 
 Dtype = Any
 
 
 class DeformConvGN(nn.Module):
-    """Conv3x3Norm with deformable conv + GroupNorm (vldyhead.py:113-155)."""
+    """Conv3x3Norm with deformable conv + GroupNorm (vldyhead.py:113-155).
+
+    Uses the gather-free window formulation (ops/deform_conv.py
+    modulated_deform_conv_window) — per-element gathers are pathologically
+    slow on TPU; the window form runs the sampling contraction on the MXU.
+    """
 
     features: int
     stride: int = 1
     groups: int = 16
+    radius: int = 3
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -56,9 +65,10 @@ class DeformConvGN(nn.Module):
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
             offset, mask = resize_offsets(offset, mask, ho, wo)
-        y = modulated_deform_conv(
+        y = modulated_deform_conv_window(
             x, offset.astype(x.dtype), mask.astype(x.dtype),
             w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
+            radius=self.radius,
         )
         return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
 
@@ -97,9 +107,18 @@ class DyConv(nn.Module):
         conv_cls = DeformConvGN if self.use_deform else PlainConvGN
         # DyConv[0]: applied to level+1 (stride 1); DyConv[1]: current level;
         # DyConv[2]: level-1 (stride 2) — vldyhead.py:166-171
-        conv_hi = conv_cls(self.channels, 1, self.gn_groups, self.dtype, name="dyconv_0")
-        conv_mid = conv_cls(self.channels, 1, self.gn_groups, self.dtype, name="dyconv_1")
-        conv_lo = conv_cls(self.channels, 2, self.gn_groups, self.dtype, name="dyconv_2")
+        conv_hi = conv_cls(
+            self.channels, stride=1, groups=self.gn_groups, dtype=self.dtype,
+            name="dyconv_0",
+        )
+        conv_mid = conv_cls(
+            self.channels, stride=1, groups=self.gn_groups, dtype=self.dtype,
+            name="dyconv_1",
+        )
+        conv_lo = conv_cls(
+            self.channels, stride=2, groups=self.gn_groups, dtype=self.dtype,
+            name="dyconv_2",
+        )
 
         if self.use_deform:
             offset_conv = nn.Conv(

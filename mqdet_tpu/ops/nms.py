@@ -83,6 +83,97 @@ def nms(boxes, scores, valid, iou_threshold, max_outputs):
     return class_aware_nms(boxes, scores, labels, valid, iou_threshold, max_outputs)
 
 
+@functools.partial(jax.jit, static_argnames=("max_outputs", "row_block"))
+def class_aware_nms_matrix(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+    row_block: int = 1024,
+):
+    """Exact greedy multi-label NMS via iterative self-suppression.
+
+    TPU-first reformulation of the sequential select-and-suppress loop: sort
+    candidates by score, build the strict lower-triangular suppression
+    relation M[i, j] = (j outscores i) & same label & IoU > t, then iterate
+
+        keep <- valid & ~(M @ keep)
+
+    to its fixpoint. The unique fixpoint of this antitone map under the
+    sorted order IS the greedy NMS keep set (induction over score rank), and
+    convergence takes O(suppression-chain depth) iterations — single digits
+    for real detections — each a (N x N) @ (N,) matvec on the MXU instead of
+    hundreds of dependent scalar steps. Returns the same (keep_idx,
+    keep_valid) contract as `class_aware_nms`, score-ordered.
+
+    The IoU matrix is built in row blocks of `row_block` to bound the
+    broadcast temporaries to row_block x N.
+    """
+    n = boxes.shape[0]
+    neg = NEG_INF
+    masked_scores = jnp.where(valid, scores, neg)
+    sorted_scores, order = jax.lax.top_k(masked_scores, n)  # descending
+    b_s = boxes[order]
+    l_s = labels[order]
+    v_s = valid[order] & (sorted_scores > neg / 2)
+
+    # suppression relation in row blocks: M[i, j] = j < i (rank) & same label
+    # & IoU > threshold
+    area = (b_s[:, 2] - b_s[:, 0] + 1.0) * (b_s[:, 3] - b_s[:, 1] + 1.0)
+    rank = jnp.arange(n)
+
+    rb_size = min(row_block, n)
+    n_pad = -(-n // rb_size) * rb_size
+    pad = n_pad - n
+    b_p = jnp.pad(b_s, ((0, pad), (0, 0)))
+    area_p = jnp.pad(area, (0, pad))
+    l_p = jnp.pad(l_s, (0, pad))
+
+    def block_rows(start):
+        rows = jax.lax.dynamic_slice_in_dim(b_p, start, rb_size, 0)
+        r_area = jax.lax.dynamic_slice_in_dim(area_p, start, rb_size, 0)
+        r_label = jax.lax.dynamic_slice_in_dim(l_p, start, rb_size, 0)
+        r_rank = start + jnp.arange(rb_size)
+        lt = jnp.maximum(rows[:, None, :2], b_s[None, :, :2])
+        rb = jnp.minimum(rows[:, None, 2:], b_s[None, :, 2:])
+        wh = jnp.clip(rb - lt + 1.0, 0.0)
+        inter = wh[..., 0] * wh[..., 1]
+        iou = inter / (r_area[:, None] + area[None, :] - inter)
+        m = (
+            (iou > iou_threshold)
+            & (r_label[:, None] == l_s[None, :])
+            & (rank[None, :] < r_rank[:, None])
+        )
+        return m.astype(jnp.float32)
+
+    starts = jnp.arange(0, n_pad, rb_size)
+    M = jax.lax.map(block_rows, starts).reshape(n_pad, n)[:n]
+
+    def cond(state):
+        keep, prev, i = state
+        return (i < n) & jnp.any(keep != prev)
+
+    def body(state):
+        keep, _, i = state
+        suppressed = (M @ keep.astype(jnp.float32)) > 0.5
+        new_keep = v_s & ~suppressed
+        return new_keep, keep, i + 1
+
+    keep0 = v_s
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
+    )
+
+    # emit top max_outputs kept, already score-ordered
+    kept_rank_scores = jnp.where(keep, sorted_scores, neg)
+    top_scores, top_pos = jax.lax.top_k(kept_rank_scores, max_outputs)
+    keep_idx = order[top_pos].astype(jnp.int32)
+    keep_valid = top_scores > neg / 2
+    return keep_idx, keep_valid
+
+
 def soft_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

@@ -82,3 +82,45 @@ def test_soft_nms_decays_scores():
     # overlapping box decayed below its raw score
     pos = list(ki).index(1)
     assert ks[pos] < 0.8
+
+
+def test_matrix_nms_matches_greedy(rng):
+    from mqdet_tpu.ops.nms import class_aware_nms_matrix
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        n = 300
+        # clustered boxes to create deep suppression chains
+        centers = r.uniform(0, 100, (n, 2))
+        wh = r.uniform(20, 60, (n, 2))
+        boxes = np.concatenate([centers, centers + wh], 1).astype(np.float32)
+        scores = r.uniform(0.01, 1.0, n).astype(np.float32)
+        labels = r.integers(0, 3, n).astype(np.int32)
+        valid = r.uniform(size=n) > 0.1
+
+        order = np.argsort(-np.where(valid, scores, -np.inf), kind="stable")
+        live = [i for i in order if valid[i]]
+        ref_keep = greedy_ml_nms(
+            boxes[live], scores[live], labels[live], 0.5
+        )
+        ref = [live[i] for i in ref_keep]
+
+        keep_idx, keep_valid = class_aware_nms_matrix(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+            jnp.asarray(valid), 0.5, max_outputs=n, row_block=64,
+        )
+        got = list(np.asarray(keep_idx)[np.asarray(keep_valid)])
+        assert got == ref, f"seed {seed}"
+
+
+def test_matrix_nms_small_n():
+    from mqdet_tpu.ops.nms import class_aware_nms_matrix
+
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], jnp.float32)
+    scores = jnp.asarray([0.5, 0.9, 0.7])
+    labels = jnp.zeros(3, jnp.int32)
+    keep_idx, keep_valid = class_aware_nms_matrix(
+        boxes, scores, labels, jnp.ones(3, bool), 0.5, max_outputs=3
+    )
+    got = list(np.asarray(keep_idx)[np.asarray(keep_valid)])
+    assert got == [1, 2]

@@ -136,3 +136,37 @@ def test_anchor_layout_glip():
     np.testing.assert_allclose((a0[0] + a0[2]) / 2, 3.5)
     # shift by one cell along x
     np.testing.assert_allclose(anchors[0][1] - anchors[0][0], [8, 0, 8, 0])
+
+
+def test_window_deform_conv_matches_gather(rng):
+    """Window formulation == gather formulation when |offset| <= radius."""
+    from mqdet_tpu.ops.deform_conv import (
+        modulated_deform_conv,
+        modulated_deform_conv_window,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 11, 13, 8)).astype(np.float32))
+    offset = jnp.asarray((rng.uniform(-2.5, 2.5, (2, 11, 13, 18))).astype(np.float32))
+    mask = jnp.asarray(rng.uniform(0.2, 1.0, (2, 11, 13, 9)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 4)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+
+    ref = modulated_deform_conv(x, offset, mask, w, bias)
+    got = modulated_deform_conv_window(x, offset, mask, w, bias, radius=3, block_rows=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_window_deform_conv_stride2(rng):
+    from mqdet_tpu.ops.deform_conv import (
+        modulated_deform_conv,
+        modulated_deform_conv_window,
+    )
+
+    x = jnp.asarray(rng.standard_normal((1, 12, 14, 6)).astype(np.float32))
+    offset = jnp.asarray((rng.uniform(-1.5, 1.5, (1, 6, 7, 18))).astype(np.float32))
+    mask = jnp.ones((1, 6, 7, 9), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 6, 5)).astype(np.float32) * 0.2)
+
+    ref = modulated_deform_conv(x, offset, mask, w, stride=2)
+    got = modulated_deform_conv_window(x, offset, mask, w, stride=2, radius=2, block_rows=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
