@@ -127,14 +127,14 @@ class GatedCrossAttentionBlock(nn.Module):
             attn_gate = jnp.tanh(gate_logit)
         else:
             g = self.param("attn_gate", nn.initializers.zeros, ())
-            attn_gate = jnp.tanh(g)
+            attn_gate = jnp.tanh(g).astype(x.dtype)
 
         x = supported * attn_gate + x
 
         if self.enable_ffn:
             ff_gate = self.param("ff_gate", nn.initializers.zeros, ())
             y = GCPFeedForward(dim=self.dim, mult=self.ff_mult, dtype=self.dtype, name="ff")(x)
-            x = y * jnp.tanh(ff_gate) + x
+            x = y * jnp.tanh(ff_gate).astype(x.dtype) + x
         return x
 
 

@@ -104,8 +104,8 @@ class BiAttentionBlock(nn.Module):
         )(vn, ln, attention_mask_l, deterministic)
         # NOTE (reference semantics, fuse_helper.py:417-421): the residual is
         # added to the NORMED inputs, not the raw ones.
-        v = vn + gamma_v * dv
-        l = ln + gamma_l * dl
+        v = vn + gamma_v.astype(dv.dtype) * dv
+        l = ln + gamma_l.astype(dl.dtype) * dl
         return v, l
 
 

@@ -24,7 +24,7 @@ class Scale(nn.Module):
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.constant(self.init_value), ())
-        return x * scale
+        return x * scale.astype(x.dtype)
 
 
 class FrozenBatchNorm(nn.Module):

@@ -37,6 +37,7 @@ from mqdet_tpu.ops.deform_conv import (
     modulated_deform_conv_window,
     resize_offsets,
 )
+from mqdet_tpu.ops.pallas.deform_conv_pallas import modulated_deform_conv_pallas
 
 Dtype = Any
 
@@ -52,11 +53,13 @@ class DeformConvGN(nn.Module):
     features: int
     stride: int = 1
     groups: int = 16
-    radius: int = 3
+    radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, offset, mask):
+        import jax
+
         w = self.param(
             "kernel", nn.initializers.normal(0.01), (3, 3, x.shape[-1], self.features)
         )
@@ -65,11 +68,19 @@ class DeformConvGN(nn.Module):
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
             offset, mask = resize_offsets(offset, mask, ho, wo)
-        y = modulated_deform_conv_window(
-            x, offset.astype(x.dtype), mask.astype(x.dtype),
-            w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
-            radius=self.radius,
-        )
+        if jax.default_backend() == "cpu":
+            # the Pallas kernel targets TPU; tests/CPU use the XLA window form
+            y = modulated_deform_conv_window(
+                x, offset.astype(x.dtype), mask.astype(x.dtype),
+                w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
+                radius=self.radius,
+            )
+        else:
+            y = modulated_deform_conv_pallas(
+                x, offset.astype(x.dtype), mask.astype(x.dtype),
+                w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
+                radius=self.radius,
+            )
         return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
 
 
