@@ -34,15 +34,21 @@ class CfgNode(dict):
     def clone(self) -> "CfgNode":
         return copy.deepcopy(self)
 
+    # subtrees that accept arbitrary new keys (dataset registry etc.)
+    _OPEN_SUBTREES = ("DATASETS.REGISTER",)
+
     def merge_from_other(self, other: Dict[str, Any], _path: str = "") -> None:
         for k, v in other.items():
             full = f"{_path}.{k}" if _path else k
-            if isinstance(v, dict) and isinstance(self.get(k), CfgNode):
+            open_subtree = any(
+                full == o or full.startswith(o + ".") for o in self._OPEN_SUBTREES
+            )
+            if isinstance(v, dict) and isinstance(self.get(k), CfgNode) and not open_subtree:
                 self[k].merge_from_other(v, full)
             else:
-                if k not in self:
+                if k not in self and not open_subtree:
                     raise KeyError(f"Unknown config key: {full}")
-                self[k] = _coerce(v, self[k], full)
+                self[k] = _coerce(v, self.get(k), full)
 
     def merge_from_file(self, path: str) -> None:
         import yaml

@@ -32,6 +32,7 @@ class TrainState:
     frozen: Any             # flat {path: array}
     opt_state: Any
     ema: Any                # EMA of trainable (or None)
+    lr_scale: Any           # autostep plateau multiplier (scalar)
 
 
 def init_train_state(params, cfg, trainable_patterns):
@@ -45,6 +46,7 @@ def init_train_state(params, cfg, trainable_patterns):
         frozen=frozen,
         opt_state=opt_state,
         ema=ema,
+        lr_scale=jnp.ones((), jnp.float32),
     )
     return state, tx, merge
 
@@ -130,7 +132,10 @@ def make_train_step(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
-        trainable = jax.tree.map(lambda p, u: p + u, state.trainable, updates)
+        # autostep plateau decay multiplier (WarmupReduceLROnPlateau twin)
+        trainable = jax.tree.map(
+            lambda p, u: p + state.lr_scale * u, state.trainable, updates
+        )
         ema = (
             O.ema_update(state.ema, trainable, ema_decay)
             if state.ema is not None
@@ -142,6 +147,7 @@ def make_train_step(
             frozen=state.frozen,
             opt_state=opt_state,
             ema=ema,
+            lr_scale=state.lr_scale,
         )
         metrics = dict(losses)
         metrics["loss_total"] = total

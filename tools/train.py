@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Modulated pre-training / training CLI.
+
+Capability twin of tools/train_net.py (reference): config layering
+(--config-file + dotted opts + TUNING_HIGHLEVEL_OVERRIDE recipes), model
+build, frozen-parameter partition, data-parallel training over the TPU mesh,
+checkpoint/resume, and --extract-query mode (tools/train_net.py:256-336).
+
+Usage:
+  python tools/train.py --config-file configs/pretrain/mq-glip-t.yaml \
+      [--extract-query] [OPTS ...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="MQ-Det TPU training")
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--task-config", default=None)
+    p.add_argument("--additional-model-config", default=None)
+    p.add_argument("--extract-query", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def load_config(args):
+    from mqdet_tpu.core.config import default_config
+
+    cfg = default_config()
+    cfg.merge_from_file(args.config_file)
+    if args.task_config:
+        cfg.merge_from_file(args.task_config)
+    if args.additional_model_config:
+        cfg.merge_from_file(args.additional_model_config)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    return cfg
+
+
+def build_dataset(cfg, name: str, train: bool):
+    from mqdet_tpu.data.coco import CocoDetectionDataset
+
+    reg = cfg.DATASETS.REGISTER.get(name)
+    assert reg is not None, (
+        f"dataset {name!r} not in DATASETS.REGISTER — register it with "
+        "img_dir/ann_file in the config"
+    )
+    root = cfg.DATASETS.DATA_ROOT
+    return CocoDetectionDataset(
+        os.path.join(root, reg["ann_file"]),
+        os.path.join(root, reg["img_dir"]),
+        exclude_crowd=cfg.DATASETS.EXCLUDE_CROWD,
+        few_shot=cfg.DATASETS.FEW_SHOT if train else 0,
+        shuffle_seed=cfg.DATASETS.SHUFFLE_SEED,
+    )
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    with open(os.path.join(cfg.OUTPUT_DIR, "config.yml"), "w") as f:
+        f.write(cfg.dump_yaml())
+
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.core.config import trainable_patterns
+    from mqdet_tpu.data.loader import GroundingTrainLoader
+    from mqdet_tpu.data.tokenizer import get_tokenizer
+    from mqdet_tpu.engine.train import init_train_state, make_train_step
+    from mqdet_tpu.engine.trainer import do_train
+    from mqdet_tpu.io.checkpoints import Checkpointer
+    from mqdet_tpu.io.torch_import import import_glip_checkpoint, load_torch_state_dict
+    from mqdet_tpu.mq.bank import QueryBank
+    from mqdet_tpu.mq.selector import QuerySelector
+    from mqdet_tpu.ops.anchors import anchors_for_fpn
+    from mqdet_tpu.parallel.mesh import make_mesh
+    from mqdet_tpu.utils.builders import build_model, synthetic_batch
+
+    model = build_model(cfg)
+    tokenizer = get_tokenizer(cfg.MODEL.LANGUAGE_BACKBONE.TOKENIZER_TYPE)
+    dataset = build_dataset(cfg, cfg.DATASETS.TRAIN[0], train=True)
+
+    bank = None
+    if cfg.VISION_QUERY.ENABLED and cfg.VISION_QUERY.QUERY_BANK_PATH:
+        path = cfg.VISION_QUERY.QUERY_BANK_PATH
+        bank = (
+            QueryBank.from_torch_pth(path) if path.endswith(".pth")
+            else QueryBank.load(path)
+        )
+    selector = QuerySelector(
+        bank,
+        num_query_per_class=cfg.VISION_QUERY.NUM_QUERY_PER_CLASS,
+        pure_text_rate=cfg.VISION_QUERY.PURE_TEXT_RATE,
+        random_kshot=cfg.VISION_QUERY.RANDOM_KSHOT,
+        max_labels=cfg.VISION_QUERY.MAX_CLASSES_PER_PROMPT,
+    )
+
+    bucket = tuple(cfg.TPU.IMAGE_BUCKETS[0])
+    b0 = synthetic_batch(
+        cfg, 1, bucket, num_labels=2,
+        k_shot=cfg.VISION_QUERY.NUM_QUERY_PER_CLASS,
+    )
+    init_args = tuple(
+        jnp.asarray(b0[k])
+        for k in ["images", "input_ids", "attention_mask", "queries", "query_mask"]
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.SOLVER.SEED), *init_args)
+
+    if cfg.MODEL.WEIGHT:
+        state_dict = load_torch_state_dict(cfg.MODEL.WEIGHT)
+        params, report = import_glip_checkpoint(params, state_dict)
+        print(
+            f"imported {len(report['matched'])} params; "
+            f"{len(report['missing'])} missing; {len(report['unused'])} unused"
+        )
+
+    if args.extract_query:
+        from mqdet_tpu.data.transforms import EvalTransform
+        from mqdet_tpu.mq.extract import extract_queries_into_bank, make_extract_fn
+
+        extract_fn = make_extract_fn(model, bucket, cfg)
+        transform = EvalTransform(cfg)
+
+        def data_iter():
+            for img_id in dataset.ids:
+                img = dataset.load_image(img_id)
+                padded, (oh, ow), (sy, sx) = transform(img)
+                boxes, labels = dataset.annotations(img_id)
+                boxes = boxes / np.array([sx, sy, sx, sy], np.float32)
+                yield {
+                    "image": jnp.asarray(padded[None]),
+                    "boxes": boxes,
+                    "labels": labels,
+                    "image_size": (float(oh), float(ow)),
+                }
+
+        out_bank = QueryBank(
+            channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
+            num_scales=cfg.VISION_QUERY.NUM_SCALES,
+        )
+        extract_queries_into_bank(
+            extract_fn, params, data_iter(), out_bank,
+            max_query_number=cfg.VISION_QUERY.MAX_QUERY_NUMBER,
+        )
+        save_path = cfg.VISION_QUERY.QUERY_BANK_SAVE_PATH or os.path.join(
+            cfg.OUTPUT_DIR, "query_bank.npz"
+        )
+        out_bank.save(save_path)
+        print(f"saved query bank ({len(out_bank)} classes) to {save_path}")
+        return
+
+    loader = GroundingTrainLoader(dataset, cfg, tokenizer, selector)
+    if cfg.SOLVER.MAX_ITER <= 0:
+        cfg.SOLVER.MAX_ITER = cfg.SOLVER.MAX_EPOCH * loader.steps_per_epoch()
+
+    state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg))
+    anchors_l = anchors_for_fpn(
+        bucket,
+        strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+        sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+        aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+    )
+    anchors = jnp.asarray(np.concatenate(anchors_l))
+    level_sizes = tuple(a.shape[0] for a in anchors_l)
+
+    def apply_fn(p, *a, **kw):
+        return model.apply(p, *a, **kw)
+
+    train_step = make_train_step(apply_fn, merge, tx, anchors, level_sizes, cfg)
+    mesh = make_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXIS_NAMES))
+    checkpointer = Checkpointer(cfg.OUTPUT_DIR, cfg.SOLVER.MAX_TO_KEEP)
+
+    start_iter = 0
+    if args.resume and checkpointer.has_checkpoint():
+        state, start_iter = checkpointer.restore(state)
+        print(f"resumed from iteration {start_iter}")
+
+    state, best = do_train(
+        cfg, train_step, state, loader, mesh=mesh,
+        checkpointer=checkpointer, start_iter=start_iter,
+    )
+    print(f"training done; best eval result: {best}")
+
+
+if __name__ == "__main__":
+    main()
