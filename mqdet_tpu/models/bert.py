@@ -243,10 +243,10 @@ class BertEmbeddings(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, deterministic=True, position_ids=None):
         b, t = input_ids.shape
         we = nn.Embed(self.vocab_size, self.hidden_size, dtype=self.dtype, name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(t)[None]
+        pos_ids = jnp.arange(t)[None] if position_ids is None else position_ids
         pe = nn.Embed(self.max_position, self.hidden_size, dtype=self.dtype, name="position_embeddings")(pos_ids)
         te = nn.Embed(self.type_vocab_size, self.hidden_size, dtype=self.dtype, name="token_type_embeddings")(
             jnp.zeros_like(input_ids)
@@ -283,14 +283,23 @@ class QVBertModel(nn.Module):
         queries: Optional[jnp.ndarray] = None,        # (B, V, vision_dim)
         query_mask: Optional[jnp.ndarray] = None,     # (B, V, T)
         image_tokens: Optional[jnp.ndarray] = None,   # (B, I, vision_dim)
+        attention_matrix: Optional[jnp.ndarray] = None,  # (B, T, T) bool
+        position_ids: Optional[jnp.ndarray] = None,   # (B, T)
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         x = BertEmbeddings(
             vocab_size=self.vocab_size, hidden_size=self.hidden_size,
             dtype=self.dtype, name="embeddings",
-        )(input_ids, deterministic)
+        )(input_ids, deterministic, position_ids=position_ids)
 
-        attn_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * -10000.0
+        if attention_matrix is not None:
+            # sub-sentence block-diagonal masks (GDINO bertwarper.py:271-320)
+            allowed = attention_matrix & (attention_mask[:, None, :] > 0)
+            attn_bias = (1.0 - allowed[:, None].astype(jnp.float32)) * -10000.0
+        else:
+            attn_bias = (
+                1.0 - attention_mask[:, None, None, :].astype(jnp.float32)
+            ) * -10000.0
 
         use_vision = queries is not None
         augmented_vision = None
@@ -353,6 +362,8 @@ class LanguageBackbone(nn.Module):
         queries=None,
         query_mask=None,
         image_tokens=None,
+        attention_matrix=None,
+        position_ids=None,
         deterministic: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         out = QVBertModel(
@@ -361,7 +372,8 @@ class LanguageBackbone(nn.Module):
             vocab_size=self.vocab_size, start_qv_layer=self.start_qv_layer,
             vision_dim=self.vision_dim, vision_scale=self.vision_scale,
             dtype=self.dtype, name="bert",
-        )(input_ids, attention_mask, queries, query_mask, image_tokens, deterministic)
+        )(input_ids, attention_mask, queries, query_mask, image_tokens,
+          attention_matrix, position_ids, deterministic)
 
         encoded = out["hidden_states"]
         n = self.n_agg_layers

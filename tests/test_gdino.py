@@ -1,0 +1,145 @@
+"""MQ-GroundingDINO stack tests (tiny config, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mqdet_tpu.models import gdino as GD
+
+
+def tiny_gdino(**kw):
+    args = dict(
+        embed_dim=16, depths=(1, 1, 1, 1), num_heads_swin=(1, 2, 4, 8),
+        window_size=4, hidden_dim=32, n_heads=4, d_ffn=64,
+        enc_layers=1, dec_layers=2, num_queries=12, num_feature_levels=4,
+        max_text_len=24, lang_layers=2, lang_dim=48, lang_heads=2,
+        lang_intermediate=96, vocab_size=200, start_qv_layer=1,
+    )
+    args.update(kw)
+    return GD.MQGroundingDINO(**args)
+
+
+def test_sub_sentence_masks():
+    # [CLS] a b . c [SEP]
+    ids = jnp.asarray([[101, 5, 6, 1012, 7, 102, 0, 0]])
+    attn, pos = GD.sub_sentence_masks(ids)
+    attn = np.asarray(attn[0])
+    pos = np.asarray(pos[0])
+    # a<->b same phrase
+    assert attn[1, 2] and attn[2, 1]
+    # a and c in different phrases
+    assert not attn[1, 4] and not attn[4, 1]
+    # specials get position 0; phrase tokens restart counting
+    assert pos[0] == 0 and pos[3] == 0
+    assert pos[1] == 1 and pos[2] == 2 and pos[4] == 1
+
+
+def test_msda_sampling_matches_torch_grid_sample(rng):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from mqdet_tpu.ops.ms_deform_attn import ms_deform_attn_sample
+
+    b, nh, hd = 1, 2, 4
+    shapes = [(6, 8), (3, 4)]
+    s = sum(h * w for h, w in shapes)
+    q, npnt = 5, 3
+    value = rng.standard_normal((b, s, nh, hd)).astype(np.float32)
+    loc = rng.uniform(0.1, 0.9, (b, q, nh, len(shapes), npnt, 2)).astype(np.float32)
+    attn = rng.uniform(size=(b, q, nh, len(shapes), npnt)).astype(np.float32)
+    attn = attn / attn.sum(axis=(3, 4), keepdims=True)
+
+    got = np.asarray(
+        ms_deform_attn_sample(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(attn))
+    )
+
+    # torch reference (ms_deform_attn.py:93-134 fallback semantics)
+    tv = torch.from_numpy(value)
+    out = torch.zeros((b, q, nh, hd))
+    start = 0
+    for lvl, (h, w) in enumerate(shapes):
+        v_l = tv[:, start : start + h * w].permute(0, 2, 3, 1).reshape(b * nh, hd, h, w)
+        grid = torch.from_numpy(2 * loc[:, :, :, lvl] - 1).permute(0, 2, 1, 3, 4).reshape(b * nh, q, npnt, 2)
+        sampled = F.grid_sample(v_l, grid, mode="bilinear", padding_mode="zeros", align_corners=False)
+        wgt = torch.from_numpy(attn[:, :, :, lvl]).permute(0, 2, 1, 3).reshape(b * nh, 1, q, npnt)
+        out += (sampled * wgt).sum(-1).reshape(b, nh, hd, q).permute(0, 3, 1, 2)
+        start += h * w
+    ref = out.reshape(b, q, nh * hd).numpy()
+    np.testing.assert_allclose(got.reshape(b, q, nh * hd), ref, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_gdino_forward_shapes(rng):
+    model = tiny_gdino()
+    images = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    ids = jnp.asarray([[101] + list(rng.integers(5, 200, 10)) + [102] + [0] * 12], jnp.int32)
+    mask = (ids != 0).astype(jnp.int32)
+    queries = jnp.asarray(rng.standard_normal((1, 4, 32)).astype(np.float32))
+    qmask = jnp.ones((1, 4, 24))
+    params = model.init(jax.random.PRNGKey(0), images, ids, mask, queries, qmask)
+    out = model.apply(params, images, ids, mask, queries, qmask)
+    assert out["pred_logits"].shape == (1, 12, 24)
+    assert out["pred_boxes"].shape == (1, 12, 4)
+    assert len(out["aux_logits"]) == 1
+    b = np.asarray(out["pred_boxes"])
+    assert (b >= 0).all() and (b <= 1).all()
+    # GCP params present (shared QVBert)
+    paths = ["/".join(str(p) for p in kp) for kp, _ in
+             jax.tree_util.tree_leaves_with_path(params)]
+    assert any("qv_layer" in p for p in paths)
+
+
+def test_gdino_postprocess(rng):
+    logits = jnp.asarray(rng.standard_normal((1, 12, 24)).astype(np.float32))
+    boxes = jnp.asarray(rng.uniform(0.2, 0.8, (1, 12, 4)).astype(np.float32))
+    agg = np.zeros((1, 3, 24), np.float32)
+    agg[0, 0, 1:3] = 0.5
+    agg[0, 1, 4:5] = 1.0
+    agg[0, 2, 6:8] = 0.5
+    sizes = jnp.asarray([[60.0, 80.0]])
+    dets = GD.gdino_postprocess(logits, boxes, jnp.asarray(agg), sizes, num_select=10)
+    assert dets.boxes.shape == (1, 10, 4)
+    assert np.asarray(dets.labels).min() >= 1
+    assert np.asarray(dets.valid).any()
+
+
+def test_hungarian_match_prefers_overlap():
+    from mqdet_tpu.engine.gdino_losses import hungarian_match
+
+    pred_boxes = jnp.asarray(
+        [[0.2, 0.2, 0.1, 0.1], [0.7, 0.7, 0.2, 0.2], [0.5, 0.5, 0.9, 0.9]]
+    )
+    gt_boxes = jnp.asarray([[0.7, 0.7, 0.2, 0.2], [0.2, 0.2, 0.1, 0.1]])
+    t = 8
+    logits = jnp.zeros((3, t))
+    gtm = np.zeros((2, t), np.float32)
+    gtm[:, 1] = 1
+    q_ind, valid = hungarian_match(
+        logits, pred_boxes, jnp.asarray(gtm), gt_boxes, jnp.asarray([True, True])
+    )
+    assert list(np.asarray(q_ind)) == [1, 0]
+
+
+@pytest.mark.slow
+def test_gdino_set_loss_finite(rng):
+    from mqdet_tpu.engine.gdino_losses import gdino_set_loss
+
+    q, t, g = 12, 24, 3
+    outputs = {
+        "pred_logits": jnp.asarray(rng.standard_normal((1, q, t)).astype(np.float32)),
+        "pred_boxes": jnp.asarray(rng.uniform(0.2, 0.8, (1, q, 4)).astype(np.float32)),
+        "aux_logits": [jnp.asarray(rng.standard_normal((1, q, t)).astype(np.float32))],
+        "aux_boxes": [jnp.asarray(rng.uniform(0.2, 0.8, (1, q, 4)).astype(np.float32))],
+    }
+    gtm = np.zeros((1, g, t), np.float32)
+    gtm[0, :, 2] = 1
+    losses = gdino_set_loss(
+        outputs,
+        jnp.asarray(rng.uniform(0.3, 0.7, (1, g, 4)).astype(np.float32)),
+        jnp.asarray([[True, True, False]]),
+        jnp.asarray(gtm),
+        jnp.ones((1, t)),
+    )
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert "loss_ce_aux0" in losses
