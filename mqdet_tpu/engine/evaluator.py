@@ -44,7 +44,9 @@ def box_iou_xyxy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _match(det_boxes, gt_boxes, gt_ignore, thresholds):
     """Greedy matching per COCOeval.evaluateImg: dets sorted by score.
 
-    Returns (tp (T, D) bool, det_ignore (T, D) bool)."""
+    Returns (tp (T, D) bool, det_ignore (T, D) bool). Uses the native C++
+    matcher (native/mqdet_host.cpp) when available — the per-(image,category)
+    matching loop dominates LVIS evaluation wall-clock."""
     t = len(thresholds)
     d = len(det_boxes)
     g = len(gt_boxes)
@@ -52,6 +54,13 @@ def _match(det_boxes, gt_boxes, gt_ignore, thresholds):
     dt_ig = np.zeros((t, d), bool)
     if g == 0:
         return tp, dt_ig
+
+    from mqdet_tpu.utils import native
+
+    if d and native.available():
+        out = native.match_detections(det_boxes, gt_boxes, gt_ignore, thresholds)
+        if out is not None:
+            return out
     ious = box_iou_xyxy(det_boxes, gt_boxes)
     for ti, thr in enumerate(thresholds):
         taken = np.zeros(g, bool)

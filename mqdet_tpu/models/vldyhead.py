@@ -68,8 +68,11 @@ class DeformConvGN(nn.Module):
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
             offset, mask = resize_offsets(offset, mask, ho, wo)
-        if jax.default_backend() == "cpu":
-            # the Pallas kernel targets TPU; tests/CPU use the XLA window form
+        # Pallas kernel for the large levels on TPU; the XLA window form for
+        # small levels (negligible compute, and every distinct Pallas shape
+        # costs a separate Mosaic compile) and on CPU.
+        small = ho * wo < 512
+        if jax.default_backend() == "cpu" or small:
             y = modulated_deform_conv_window(
                 x, offset.astype(x.dtype), mask.astype(x.dtype),
                 w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,

@@ -170,3 +170,70 @@ def test_window_deform_conv_stride2(rng):
     ref = modulated_deform_conv(x, offset, mask, w, stride=2)
     got = modulated_deform_conv_window(x, offset, mask, w, stride=2, radius=2, block_rows=3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_native_host_library(rng):
+    """Native C++ helpers match the numpy/python reference paths."""
+    from mqdet_tpu.utils import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    # matching parity vs the pure-python evaluator path
+    from mqdet_tpu.engine import evaluator as EV
+
+    det = rng.uniform(0, 100, (20, 2))
+    det = np.concatenate([det, det + rng.uniform(5, 40, (20, 2))], 1).astype(np.float32)
+    order = np.argsort(-rng.uniform(size=20))
+    det = det[order]
+    gt = rng.uniform(0, 100, (6, 2))
+    gt = np.concatenate([gt, gt + rng.uniform(5, 40, (6, 2))], 1).astype(np.float32)
+    gt_ig = np.array([0, 0, 0, 0, 1, 1], bool)
+    thr = EV.IOU_THRESHOLDS
+
+    tp_n, ig_n = native.match_detections(det, gt, gt_ig, thr)
+
+    # python reference (force fallback by calling the inner loop logic)
+    t, d, g = len(thr), len(det), len(gt)
+    ious = EV.box_iou_xyxy(det, gt)
+    tp_p = np.zeros((t, d), bool)
+    ig_p = np.zeros((t, d), bool)
+    for ti, th in enumerate(thr):
+        taken = np.zeros(g, bool)
+        for di in range(d):
+            best, best_iou = -1, th - 1e-10
+            for gi in range(g):
+                if taken[gi] and not gt_ig[gi]:
+                    continue
+                if gt_ig[gi] and best > -1 and not gt_ig[best]:
+                    break
+                if ious[di, gi] > best_iou:
+                    best, best_iou = gi, ious[di, gi]
+            if best > -1:
+                if gt_ig[best]:
+                    ig_p[ti, di] = True
+                else:
+                    taken[best] = True
+                    tp_p[ti, di] = True
+    np.testing.assert_array_equal(tp_n, tp_p)
+    np.testing.assert_array_equal(ig_n, ig_p)
+
+    # NMS parity vs the python greedy reference from test_nms
+    from tests.test_nms import greedy_ml_nms
+
+    boxes = rng.uniform(0, 200, (50, 2))
+    boxes = np.concatenate([boxes, boxes + rng.uniform(10, 80, (50, 2))], 1).astype(np.float32)
+    scores = rng.uniform(0.01, 1, 50).astype(np.float32)
+    labels = rng.integers(0, 3, 50).astype(np.int32)
+    ref = greedy_ml_nms(boxes, scores, labels, 0.5)
+    keep = native.class_aware_nms(boxes, scores, labels, 0.5, 50)
+    assert list(keep) == ref
+
+    # resize path produces finite normalized output with padding zeroed
+    img = rng.integers(0, 255, (37, 53, 3)).astype(np.uint8)
+    out = native.resize_normalize_pad(
+        img, 24, 36, (32, 48), [103.5, 116.3, 123.7], [57.4, 57.1, 58.4]
+    )
+    assert out.shape == (32, 48, 3)
+    assert np.isfinite(out).all()
+    assert (out[25:] == 0).all() and (out[:, 37:] == 0).all()
