@@ -69,6 +69,28 @@ def apply_text_dropout(
     return jnp.where(token_masked > 0, mask_token_id, input_ids)
 
 
+def random_word_mask(
+    rng: jax.Array,
+    input_ids: jnp.ndarray,     # (B, T)
+    greenlight: jnp.ndarray,    # (B, T) 1 = maskable (greenlight map)
+    vocab_size: int,
+    mask_token_id: int = MASK_TOKEN_ID,
+    prob: float = 0.15,
+):
+    """GLIP random_word (generalized_vl_rcnn_new.py:53-87): with prob 0.15
+    per greenlit token — 80% [MASK], 10% random token, 10% unchanged; MLM
+    labels carry the original id, -100 elsewhere."""
+    r1, r2, r3 = jax.random.split(rng, 3)
+    pick = (jax.random.uniform(r1, input_ids.shape) < prob) & (greenlight > 0)
+    action = jax.random.uniform(r2, input_ids.shape)
+    random_ids = jax.random.randint(r3, input_ids.shape, 0, vocab_size)
+    masked = jnp.where(action < 0.8, mask_token_id,
+                       jnp.where(action < 0.9, random_ids, input_ids))
+    new_ids = jnp.where(pick, masked, input_ids)
+    labels = jnp.where(pick, input_ids, -100)
+    return new_ids, labels
+
+
 def make_train_step(
     model_apply: Callable,
     merge: Callable,

@@ -337,6 +337,22 @@ class QVBertModel(nn.Module):
         }
 
 
+class MLMHead(nn.Module):
+    """BertLMPredictionHead (utils/fuse_helper.py:27-44): dense + gelu + LN +
+    vocab decoder, used when MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS."""
+
+    hidden_size: int = 768
+    vocab_size: int = 30522
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="transform_dense")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="transform_ln")(x)
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="decoder")(x)
+
+
 class LanguageBackbone(nn.Module):
     """The BertEncoder wrapper (bert_model_new.py:13-104).
 

@@ -67,6 +67,7 @@ class MQGLIP(nn.Module):
     vocab_size: int = 30522
     start_qv_layer: int = 6
     vision_scale: float = 1.0
+    query_fusion: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -89,6 +90,7 @@ class MQGLIP(nn.Module):
             vocab_size=cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE,
             start_qv_layer=cfg.VISION_QUERY.START_QV_LAYER,
             vision_scale=cfg.VISION_QUERY.VISION_SCALE,
+            query_fusion=cfg.VISION_QUERY.QUERY_FUSION,
             dtype=dt,
         )
 
@@ -116,6 +118,7 @@ class MQGLIP(nn.Module):
             name="language_backbone",
         )
         self.rpn = VLDyHead(
+            query_fusion=self.query_fusion,
             num_convs=self.num_convs,
             channels=self.out_channels,
             in_channels=self.out_channels,
@@ -172,6 +175,8 @@ class MQGLIP(nn.Module):
             lang["hidden"],
             lang["masks"],
             embedding=lang["embedded"],
+            augmented_vision=lang.get("augmented_vision") if self.query_fusion else None,
+            query_mask=query_mask if self.query_fusion else None,
             deterministic=deterministic,
         )
         head_out["lang"] = lang

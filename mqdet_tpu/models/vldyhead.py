@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mqdet_tpu.models.bert import BertLayer
+from mqdet_tpu.models.bert import BertLayer, GatedCrossAttentionBlock
 from mqdet_tpu.models.fusion import VLFuse
 from mqdet_tpu.models.layers import (
     DYReLU,
@@ -205,6 +205,7 @@ class VLDyHead(nn.Module):
     use_dyrelu: bool = True
     early_fuse: bool = True
     use_fused_dot_product: bool = True
+    query_fusion: bool = False
     gn_groups: int = 16
     dtype: Dtype = jnp.float32
 
@@ -215,9 +216,20 @@ class VLDyHead(nn.Module):
         lang_hidden: jnp.ndarray,
         lang_masks: jnp.ndarray,
         embedding: Optional[jnp.ndarray] = None,
+        augmented_vision: Optional[jnp.ndarray] = None,
+        query_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         attn_bias = (1.0 - lang_masks[:, None, None, :].astype(jnp.float32)) * -10000.0
+
+        # SupportFuse / VISION_QUERY.QUERY_FUSION (vldyhead.py:576-590):
+        # inject the PreSelect-augmented queries into the text stream with one
+        # extra gated cross-attention before the tower
+        if self.query_fusion and augmented_vision is not None:
+            lang_hidden = GatedCrossAttentionBlock(
+                dim=self.lang_dim, enable_ffn=False, dtype=self.dtype,
+                name="query_fuse_qv_layer",
+            )(lang_hidden, augmented_vision.astype(self.dtype), query_mask)
 
         visual = feats
         for i in range(self.num_convs):
