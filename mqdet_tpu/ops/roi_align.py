@@ -153,3 +153,52 @@ def all_level_roi_align(features, rois, spatial_scales, output_size=7):
         [roi_align(f, rois, sc, output_size) for f, sc in zip(features, spatial_scales)],
         axis=0,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("output_size",))
+def roi_pool(
+    features: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int = 7,
+) -> jnp.ndarray:
+    """ROIPool (max pooling) — csrc/cuda/ROIPool_cuda.cu twin.
+
+    Unused by MQ-Det configs (SURVEY.md §2.4) but part of the reference's op
+    surface. Quantized bin boundaries, max over each bin, implemented as a
+    dense masked max over the feature map (fixed shape; fine for the small
+    ROI counts this op serves).
+    """
+    h, w, c = features.shape
+    p = output_size
+    x1 = jnp.round(rois[:, 0] * spatial_scale)
+    y1 = jnp.round(rois[:, 1] * spatial_scale)
+    x2 = jnp.round(rois[:, 2] * spatial_scale)
+    y2 = jnp.round(rois[:, 3] * spatial_scale)
+    roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
+    roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
+    bin_w = roi_w / p
+    bin_h = roi_h / p
+
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+
+    def one_roi(xx1, yy1, bw, bh):
+        # bin index of each pixel row/col relative to the roi, or -1 outside
+        def bins(coords, start, size, count):
+            idx = jnp.floor((coords - start) / size)
+            inside = (coords >= start) & (idx < count) & (idx >= 0)
+            return jnp.where(inside, idx, -1.0)
+
+        ybin = bins(ys, yy1, bh, p)  # (H,)
+        xbin = bins(xs, xx1, bw, p)  # (W,)
+        out = jnp.full((p, p, c), -jnp.inf)
+        for py in range(p):
+            row_mask = ybin == py
+            for px in range(p):
+                m = row_mask[:, None] & (xbin == px)[None, :]
+                v = jnp.where(m[..., None], features, -jnp.inf).max(axis=(0, 1))
+                out = out.at[py, px].set(v)
+        return jnp.where(jnp.isfinite(out), out, 0.0)
+
+    return jax.vmap(one_roi)(x1, y1, bin_w, bin_h)

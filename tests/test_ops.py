@@ -237,3 +237,40 @@ def test_native_host_library(rng):
     assert out.shape == (32, 48, 3)
     assert np.isfinite(out).all()
     assert (out[25:] == 0).all() and (out[:, 37:] == 0).all()
+
+
+def test_roi_pool_block_max(rng):
+    from mqdet_tpu.ops.roi_align import roi_pool
+
+    f = jnp.asarray(rng.standard_normal((16, 16, 4)).astype(np.float32))
+    rois = jnp.asarray([[0.0, 0.0, 15.0, 15.0]])
+    out = np.asarray(roi_pool(f, rois, 1.0, output_size=4))[0]
+    ref = np.asarray(f).reshape(4, 4, 4, 4, 4).max(axis=(1, 3))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_samplers():
+    from mqdet_tpu.data.samplers import (
+        distributed_shard, grouped_by_bucket, iteration_based,
+    )
+
+    shards = [distributed_shard(list(range(10)), 4, h, shuffle=False) for h in range(4)]
+    assert all(len(s) == 3 for s in shards)
+    assert set(shards[0]) | set(shards[1]) | set(shards[2]) | set(shards[3]) == set(range(10))
+
+    b = grouped_by_bucket(list(range(6)), lambda i: i % 2, 2)
+    for batch in b:
+        assert len({i % 2 for i in batch}) == 1  # no mixed buckets
+    b2 = grouped_by_bucket(list(range(6)), lambda i: i % 2, 2, drop_uneven=True)
+    assert all(len(x) == 2 for x in b2)
+
+    assert len(list(iteration_based([[1], [2]], 5))) == 5
+
+
+def test_comm_single_host():
+    from mqdet_tpu.parallel.comm import all_gather, get_rank, get_world_size, reduce_dict
+
+    assert get_world_size() == 1 and get_rank() == 0
+    assert all_gather({"a": 1}) == [{"a": 1}]
+    out = reduce_dict({"x": jnp.asarray(2.0)})
+    np.testing.assert_allclose(out["x"], 2.0)
