@@ -34,6 +34,7 @@ from mqdet_tpu.models.layers import (
     upsample_bilinear,
 )
 from mqdet_tpu.ops.deform_conv import (
+    modulated_deform_conv,
     modulated_deform_conv_window,
     resize_offsets,
 )
@@ -58,6 +59,8 @@ class DeformConvGN(nn.Module):
 
     @nn.compact
     def __call__(self, x, offset, mask):
+        import os
+
         import jax
 
         w = self.param(
@@ -68,22 +71,34 @@ class DeformConvGN(nn.Module):
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
             offset, mask = resize_offsets(offset, mask, ho, wo)
-        # Pallas kernel for the large levels on TPU; the XLA window form for
-        # small levels (negligible compute, and every distinct Pallas shape
-        # costs a separate Mosaic compile) and on CPU.
+
+        # Implementation dispatch (MQDET_DEFORM_IMPL=gather|window|pallas):
+        #   gather — exact 4-corner bilinear via XLA gather (default; robust)
+        #   window — gather-free XLA composite (clipped offsets)
+        #   pallas — VMEM-resident Pallas kernel (fastest steady-state; long
+        #            Mosaic compile times through remote-compile tunnels)
+        # Small levels always use `window` (negligible compute; avoids extra
+        # Pallas shape variants), CPU always uses `window`.
+        impl = os.environ.get("MQDET_DEFORM_IMPL", "gather")
         small = ho * wo < 512
-        if jax.default_backend() == "cpu" or small:
+        args = (
+            x, offset.astype(x.dtype), mask.astype(x.dtype),
+            w.astype(x.dtype), b.astype(x.dtype),
+        )
+        if jax.default_backend() == "cpu" or (small and impl != "gather"):
             y = modulated_deform_conv_window(
-                x, offset.astype(x.dtype), mask.astype(x.dtype),
-                w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
-                radius=self.radius,
+                *args, stride=self.stride, radius=self.radius
+            )
+        elif impl == "pallas":
+            y = modulated_deform_conv_pallas(
+                *args, stride=self.stride, radius=self.radius
+            )
+        elif impl == "window":
+            y = modulated_deform_conv_window(
+                *args, stride=self.stride, radius=self.radius
             )
         else:
-            y = modulated_deform_conv_pallas(
-                x, offset.astype(x.dtype), mask.astype(x.dtype),
-                w.astype(x.dtype), b.astype(x.dtype), stride=self.stride,
-                radius=self.radius,
-            )
+            y = modulated_deform_conv(*args, stride=self.stride)
         return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
 
 

@@ -196,10 +196,6 @@ def modulated_deform_conv_pallas(
             pltpu.VMEM((br * wo, k * c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
         interpret=interpret,
     )(wy, wxm, xp, w_mat, bias_arr)
 

@@ -32,6 +32,15 @@ def mq_glip_l_config() -> CfgNode:
     return cfg
 
 
+def mq_groundingdino_t_config() -> CfgNode:
+    """MQ-GroundingDINO-T (configs/pretrain/mq-groundingdino-t.yaml)."""
+    cfg = default_config()
+    cfg.MODEL.META_ARCHITECTURE = "MQGroundingDINO"
+    cfg.GROUNDINGDINO.enabled = True
+    cfg.VISION_QUERY.ENABLED = True
+    return cfg
+
+
 def tiny_test_config() -> CfgNode:
     """Miniature config for CPU tests and the multichip dry run."""
     cfg = mq_glip_t_config()
@@ -55,7 +64,13 @@ def tiny_test_config() -> CfgNode:
     return cfg
 
 
-def build_model(cfg) -> MQGLIP:
+def build_model(cfg):
+    """build_detection_model twin (modeling/detector/__init__.py:1-14):
+    dispatch on META_ARCHITECTURE / GROUNDINGDINO.enabled."""
+    if cfg.GROUNDINGDINO.enabled or cfg.MODEL.META_ARCHITECTURE == "MQGroundingDINO":
+        from mqdet_tpu.models.gdino import MQGroundingDINO
+
+        return MQGroundingDINO.from_config(cfg)
     return MQGLIP.from_config(cfg)
 
 
