@@ -107,7 +107,8 @@ def modulated_deform_conv(
     patches = patches.reshape(b, ho, wo, k * c)
     w_mat = weight.transpose(0, 1, 2, 3).reshape(k * c, cout)
     out = jnp.einsum(
-        "bhwk,ko->bhwo", patches, w_mat, preferred_element_type=jnp.float32
+        "bhwk,ko->bhwo", patches, w_mat, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ).astype(x.dtype)
     if bias is not None:
         out = out + bias
@@ -228,13 +229,18 @@ def modulated_deform_conv_window(
                 patches.append(sl)
         patch = jnp.stack(patches, axis=-2)  # (B, BR, Wo, D^2, C)
         cblk = jax.lax.dynamic_slice_in_dim(coef, r0, block_rows, axis=1)
+        # HIGHEST: DEFAULT matmul precision feeds bf16 into the MXU (and
+        # this jax version mirrors that on CPU), which costs ~2.5e-3 in the
+        # bilinear coefficients — enough to break parity-vs-gather tests.
         s = jnp.einsum(
             "bhwkd,bhwdc->bhwkc", cblk.astype(x.dtype), patch,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (B, BR, Wo, 9, C)
         out = jnp.einsum(
             "bhwkc,kco->bhwo", s.astype(x.dtype), w_mat.astype(x.dtype),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out.astype(x.dtype)
 

@@ -12,15 +12,30 @@ weights:
 
     sample_k(p) = sum_d hat(rel_y - dy) * hat(rel_x - dx) * x[p*stride + d]
 
-The kernel streams the input band through VMEM via async DMA and accumulates
-all 9 taps at once per shift — each of the dsz^2 terms is ONE wide VPU
-multiply-add over (BR*W, 9*C) lanes against a per-position coef vector; the
-deformable im2col never touches HBM. The trailing (BR*W, 9C) @ (9C, Cout)
-projection runs on the MXU inside the same kernel. HBM traffic per conv:
-read x + hat weights once, write out once.
+vs the XLA window composite, which is HBM-bound on its materialized
+(N, D^2, C) im2col patches (~0.5 GB of traffic per level-0 conv), the kernel
+keeps the entire im2col in VMEM: the input band streams in via async DMA,
+per integer shift each of the 9 taps' samples accumulates with a
+per-position column coefficient ((N,1) * (N,C) lane broadcast — the
+Mosaic-native pattern), and the 9 (N,C)@(C,Cout) MXU matmuls run inside the
+same kernel. HBM traffic per conv: read x + rel/mask once, write out once.
+
+Mosaic constraints that shaped this (all observed on real v5e):
+  * no sublane->lane merges: (BR,Wo,9,C)->(N,9C) reshape fails
+    infer-vector-layout; per-tap (N,C) accumulators avoid it. `wo` is padded
+    to the sublane tile so (BR,Wp,C)->(BR*Wp,C) is a layout no-op.
+  * big unrolled bodies spill: a fully unrolled dsz^2 x 9 accumulation
+    allocates a stack slot per SSA value (~180 MB). The row-shift loop is a
+    lax.fori_loop and accumulators are VMEM scratch refs updated in place.
+  * no dynamic lane slicing: hat coefficients are computed IN-kernel from
+    (N, 9) rel/mask lanes (elementwise vs the loop-carried shift scalar)
+    instead of slicing a precomputed (N, dsz*9) table at lane dy*9.
+  * f32 matmul DEFAULT precision truncates operands to bf16 (~2.5e-3 error);
+    HIGHEST is set for f32 operands, while bf16 operands reject HIGHEST.
 
 Strided (stride=2) sampling is handled by phase-decomposing the padded input
-host-side into stride^2 planes so every shift slice in the kernel is static.
+host-side into stride^2 planes so every shift slice in the kernel is static
+in the minor dims (the row-phase/row-block index may be dynamic).
 """
 from __future__ import annotations
 
@@ -35,26 +50,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    wy_ref,      # (1, BR, Wo, dsz*9)  vertical hat weights (dy-major lanes)
-    wxm_ref,     # (1, BR, Wo, dsz*9)  horizontal hat weights * modulation
+    rely_ref,    # (1, BR*Wp, 9)  rel_y = clipped dy-offset + tap_y  (f32)
+    relxm_ref,   # (1, BR*Wp, 18) lanes 0:9 rel_x, 9:18 modulation   (f32)
     xp_ref,      # (B, S, S, Hp2, Wp2, C) phase-decomposed padded input (ANY)
-    w_ref,       # (9*C, Cout)
+    w_ref,       # (9, C, Cout)
     b_ref,       # (1, Cout)
-    out_ref,     # (1, BR, Wo, Cout)
+    out_ref,     # (1, BR*Wp, Cout)
     band,        # scratch VMEM (S, S, BAND_ROWS, Wp2, C)
-    acc,         # scratch VMEM (BR*Wo, 9*C) f32
+    acc,         # scratch VMEM (9, BR*Wp, C) f32
     sem,         # DMA semaphore
     *,
     br: int,
-    wo: int,
+    wp: int,
     c: int,
-    cout: int,
     dsz: int,
+    d_lo: int,
     stride: int,
     band_rows: int,
 ):
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    k = 9
 
     dma = pltpu.make_async_copy(
         xp_ref.at[bi, :, :, pl.ds(i * br, band_rows)],
@@ -64,27 +80,46 @@ def _kernel(
     dma.start()
     dma.wait()
 
-    k = 9
-    acc[...] = jnp.zeros_like(acc)
-    for dy in range(dsz):
-        py, by = dy % stride, dy // stride
-        wy_d = wy_ref[0, :, :, dy * 9 : (dy + 1) * 9]  # (BR, Wo, 9)
-        for dx in range(dsz):
-            px, bx = dx % stride, dx // stride
-            sl = band[py, px, by : by + br, bx : bx + wo, :]  # (BR, Wo, C)
-            coef = wy_d * wxm_ref[0, :, :, dx * 9 : (dx + 1) * 9]  # (BR, Wo, 9)
-            term = (
-                coef.astype(jnp.float32)[..., None]
-                * sl.astype(jnp.float32)[..., None, :]
-            ).reshape(br * wo, k * c)
-            acc[...] += term
+    rely = rely_ref[0]                      # (N, 9)
+    relx = relxm_ref[0, :, 0:k]             # (N, 9)
+    msk = relxm_ref[0, :, k : 2 * k]        # (N, 9)
+    for kk in range(k):
+        acc[kk] = jnp.zeros((br * wp, c), jnp.float32)
 
-    out = jnp.dot(
-        acc[...].astype(w_ref.dtype), w_ref[...],
-        preferred_element_type=jnp.float32,
+    def row_shift(dy, _):
+        dyf = (d_lo + dy).astype(jnp.float32)
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - dyf))  # (N, 9)
+        if stride == 1:
+            py, by = 0, dy
+        else:
+            py, by = jax.lax.rem(dy, stride), jax.lax.div(dy, stride)
+        for dx in range(dsz):
+            pxs, bxs = dx % stride, dx // stride
+            sl = band[py, pxs, pl.ds(by, br), bxs : bxs + wp, :]
+            sl = sl.reshape(br * wp, c).astype(jnp.float32)
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(relx - float(d_lo + dx)))
+            w9 = hy * hx * msk                              # (N, 9)
+            for kk in range(k):
+                acc[kk] += w9[:, kk : kk + 1] * sl
+        return 0
+
+    jax.lax.fori_loop(0, dsz, row_shift, 0)
+
+    # f32 matmul wants HIGHEST (DEFAULT truncates operands to bf16); Mosaic
+    # rejects HIGHEST for bf16 operands, where DEFAULT is already exact.
+    mm_prec = (
+        jax.lax.Precision.HIGHEST if w_ref.dtype == jnp.float32 else None
     )
-    out = out + b_ref[0][None, :].astype(jnp.float32)
-    out_ref[0] = out.reshape(br, wo, cout).astype(out_ref.dtype)
+    out = b_ref[0][None, :].astype(jnp.float32) + jnp.zeros(
+        (br * wp, b_ref.shape[1]), jnp.float32
+    )
+    for kk in range(k):
+        out += jnp.dot(
+            acc[kk].astype(w_ref.dtype), w_ref[kk],
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -119,28 +154,41 @@ def modulated_deform_conv_pallas(
     br = min(block_rows, ho)
     nblk = -(-ho // br)
     ho_pad = nblk * br
+    # Pad the row dim to the widest sublane tile (bf16: 16) so the in-kernel
+    # (BR, Wp, C) -> (BR*Wp, C) collapse is a pure layout no-op for Mosaic.
+    wp = -(-wo // 16) * 16
 
-    # ---- hat weights (XLA elementwise) -----------------------------------
+    # ---- rel coordinates (XLA elementwise) --------------------------------
     tap = np.stack(
         np.meshgrid(np.arange(3) - 1, np.arange(3) - 1, indexing="ij"), -1
     ).reshape(k, 2)
     off = offset.reshape(b, ho, wo, k, 2).astype(jnp.float32)
     off = jnp.clip(off, -float(radius), float(radius))
-    rel = off + jnp.asarray(tap, jnp.float32)
-    dgrid = jnp.arange(d_lo, d_hi + 1, dtype=jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., 0:1] - dgrid))  # (B,Ho,Wo,9,dsz)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., 1:2] - dgrid))
-    wxm = wx * mask.astype(jnp.float32)[..., None]
-    # dy-major lane layout: lane (dy*9 + k)
-    wy = wy.transpose(0, 1, 2, 4, 3).reshape(b, ho, wo, dsz * k).astype(x.dtype)
-    wxm = wxm.transpose(0, 1, 2, 4, 3).reshape(b, ho, wo, dsz * k).astype(x.dtype)
-    wy = jnp.pad(wy, ((0, 0), (0, ho_pad - ho), (0, 0), (0, 0)))
-    wxm = jnp.pad(wxm, ((0, 0), (0, ho_pad - ho), (0, 0), (0, 0)))
+    rel = off + jnp.asarray(tap, jnp.float32)  # (B,Ho,Wo,9,2)
+    rely = rel[..., 0]
+    # relx and modulation share one operand (lane 0:9 relx, 9:18 mask); keeps
+    # the kernel at two coefficient streams. rel_x for padded cols is pushed
+    # out of the hat-window support so padded positions contribute 0.
+    relxm = jnp.concatenate(
+        [rel[..., 1], mask.astype(jnp.float32)], axis=-1
+    )  # (B,Ho,Wo,18)
+    rely = jnp.pad(
+        rely,
+        ((0, 0), (0, ho_pad - ho), (0, wp - wo), (0, 0)),
+        constant_values=2.0 * dsz,
+    )
+    relxm = jnp.pad(
+        relxm,
+        ((0, 0), (0, ho_pad - ho), (0, wp - wo), (0, 0)),
+        constant_values=2.0 * dsz,
+    )
+    rely = rely.reshape(b, ho_pad * wp, k)
+    relxm = relxm.reshape(b, ho_pad * wp, 2 * k)
 
     # ---- padded, phase-decomposed input -----------------------------------
     pad_lo = -d_lo
     hp2 = ho_pad + (dsz - 1) // s + 1
-    wp2 = wo + (dsz - 1) // s + 1
+    wp2 = wp + (dsz - 1) // s + 1
     need_h = (hp2 - 1) * s + (s - 1) + 1
     need_w = (wp2 - 1) * s + (s - 1) + 1
     xp = jnp.pad(
@@ -158,7 +206,7 @@ def modulated_deform_conv_pallas(
 
     band_rows = br + (dsz - 1) // s
 
-    w_mat = weight.reshape(k * c, cout).astype(x.dtype)
+    w_mat = weight.reshape(k, c, cout).astype(x.dtype)
     bias_arr = (
         bias.reshape(1, cout).astype(x.dtype)
         if bias is not None
@@ -167,7 +215,8 @@ def modulated_deform_conv_pallas(
 
     kernel = functools.partial(
         _kernel,
-        br=br, wo=wo, c=c, cout=cout, dsz=dsz, stride=s, band_rows=band_rows,
+        br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
+        band_rows=band_rows,
     )
 
     out = pl.pallas_call(
@@ -175,11 +224,11 @@ def modulated_deform_conv_pallas(
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(
-                (1, br, wo, k * dsz), lambda bi, i: (bi, i, 0, 0),
+                (1, br * wp, k), lambda bi, i: (bi, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, br, wo, k * dsz), lambda bi, i: (bi, i, 0, 0),
+                (1, br * wp, 2 * k), lambda bi, i: (bi, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -187,16 +236,19 @@ def modulated_deform_conv_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, br, wo, cout), lambda bi, i: (bi, i, 0, 0),
+            (1, br * wp, cout), lambda bi, i: (bi, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, ho_pad, wo, cout), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, ho_pad * wp, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((s, s, band_rows, wp2, c), x.dtype),
-            pltpu.VMEM((br * wo, k * c), jnp.float32),
+            pltpu.VMEM((k, br * wp, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(wy, wxm, xp, w_mat, bias_arr)
+    )(rely, relxm, xp, w_mat, bias_arr)
 
-    return out[:, :ho]
+    return out.reshape(b, ho_pad, wp, cout)[:, :ho, :wo]

@@ -274,3 +274,34 @@ def test_comm_single_host():
     assert all_gather({"a": 1}) == [{"a": 1}]
     out = reduce_dict({"x": jnp.asarray(2.0)})
     np.testing.assert_allclose(out["x"], 2.0)
+
+
+def test_pallas_deform_conv_matches_window(rng):
+    """Interpret-mode Pallas kernel vs the XLA window composite (same
+    clipped-offset semantics) — exact agreement expected."""
+    from mqdet_tpu.ops.deform_conv import modulated_deform_conv_window
+    from mqdet_tpu.ops.pallas.deform_conv_pallas import (
+        modulated_deform_conv_pallas,
+    )
+
+    for stride, h, w_, cin, cout in [(1, 12, 20, 16, 8), (2, 13, 21, 8, 16)]:
+        ho, wo = -(-h // stride), -(-w_ // stride)
+        x = jnp.asarray(rng.standard_normal((2, h, w_, cin)).astype(np.float32))
+        offset = jnp.asarray(
+            (rng.standard_normal((2, ho, wo, 18)) * 1.5).astype(np.float32)
+        )
+        mask = jnp.asarray(rng.random((2, ho, wo, 9)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, cin, cout)) * 0.1).astype(np.float32)
+        )
+        bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+        ref = modulated_deform_conv_window(
+            x, offset, mask, w, bias, stride=stride, radius=2
+        )
+        got = modulated_deform_conv_pallas(
+            x, offset, mask, w, bias, stride=stride, radius=2, interpret=True
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
