@@ -15,18 +15,25 @@ weights:
 vs the XLA window composite, which is HBM-bound on its materialized
 (N, D^2, C) im2col patches (~0.5 GB of traffic per level-0 conv), the kernel
 keeps the entire im2col in VMEM: the input band streams in via async DMA,
-per integer shift each of the 9 taps' samples accumulates with a
-per-position column coefficient ((N,1) * (N,C) lane broadcast — the
-Mosaic-native pattern), and the 9 (N,C)@(C,Cout) MXU matmuls run inside the
-same kernel. HBM traffic per conv: read x + rel/mask once, write out once.
+per integer shift each tap's sample accumulates with a per-position column
+coefficient ((N,1) * (N,C) lane broadcast — the Mosaic-native pattern), and
+the 9 (N,C)@(C,Cout) MXU matmuls run inside the same kernel. HBM traffic per
+conv: read x + rel/mask once, write out once.
+
+The hat has support 2: per position only a 2x2 corner of the dsz^2 window
+contributes. The host computes per-(block, tap) integer bounds
+[floor(min rel), floor(max rel)+1] on both axes and the kernel loops only
+that sub-window (dynamic fori over dy, conditional skip over dx), so the VPU
+work tracks the actual offset spread (~2x2..4x4 typical) instead of the
+worst-case dsz^2 = (2*radius+4)^2.
 
 Mosaic constraints that shaped this (all observed on real v5e):
   * no sublane->lane merges: (BR,Wo,9,C)->(N,9C) reshape fails
     infer-vector-layout; per-tap (N,C) accumulators avoid it. `wo` is padded
     to the sublane tile so (BR,Wp,C)->(BR*Wp,C) is a layout no-op.
   * big unrolled bodies spill: a fully unrolled dsz^2 x 9 accumulation
-    allocates a stack slot per SSA value (~180 MB). The row-shift loop is a
-    lax.fori_loop and accumulators are VMEM scratch refs updated in place.
+    allocates a stack slot per SSA value (~180 MB). Shift loops are
+    lax.fori_loop and the accumulator is a VMEM scratch ref updated in place.
   * no dynamic lane slicing: hat coefficients are computed IN-kernel from
     (N, 9) rel/mask lanes (elementwise vs the loop-carried shift scalar)
     instead of slicing a precomputed (N, dsz*9) table at lane dy*9.
@@ -50,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
+    bounds_ref,  # SMEM (1, 1, 9, 4) i32: per tap [dy0, dy1, dx0, dx1] incl.
     rely_ref,    # (1, BR*Wp, 9)  rel_y = clipped dy-offset + tap_y  (f32)
     relxm_ref,   # (1, BR*Wp, 18) lanes 0:9 rel_x, 9:18 modulation   (f32)
     xp_ref,      # (B, S, S, Hp2, Wp2, C) phase-decomposed padded input (ANY)
@@ -57,7 +65,7 @@ def _kernel(
     b_ref,       # (1, Cout)
     out_ref,     # (1, BR*Wp, Cout)
     band,        # scratch VMEM (S, S, BAND_ROWS, Wp2, C)
-    acc,         # scratch VMEM (9, BR*Wp, C) f32
+    acc,         # scratch VMEM (1, BR*Wp, C) f32, reused per tap
     sem,         # DMA semaphore
     *,
     br: int,
@@ -80,31 +88,6 @@ def _kernel(
     dma.start()
     dma.wait()
 
-    rely = rely_ref[0]                      # (N, 9)
-    relx = relxm_ref[0, :, 0:k]             # (N, 9)
-    msk = relxm_ref[0, :, k : 2 * k]        # (N, 9)
-    for kk in range(k):
-        acc[kk] = jnp.zeros((br * wp, c), jnp.float32)
-
-    def row_shift(dy, _):
-        dyf = (d_lo + dy).astype(jnp.float32)
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(rely - dyf))  # (N, 9)
-        if stride == 1:
-            py, by = 0, dy
-        else:
-            py, by = jax.lax.rem(dy, stride), jax.lax.div(dy, stride)
-        for dx in range(dsz):
-            pxs, bxs = dx % stride, dx // stride
-            sl = band[py, pxs, pl.ds(by, br), bxs : bxs + wp, :]
-            sl = sl.reshape(br * wp, c).astype(jnp.float32)
-            hx = jnp.maximum(0.0, 1.0 - jnp.abs(relx - float(d_lo + dx)))
-            w9 = hy * hx * msk                              # (N, 9)
-            for kk in range(k):
-                acc[kk] += w9[:, kk : kk + 1] * sl
-        return 0
-
-    jax.lax.fori_loop(0, dsz, row_shift, 0)
-
     # f32 matmul wants HIGHEST (DEFAULT truncates operands to bf16); Mosaic
     # rejects HIGHEST for bf16 operands, where DEFAULT is already exact.
     mm_prec = (
@@ -113,12 +96,46 @@ def _kernel(
     out = b_ref[0][None, :].astype(jnp.float32) + jnp.zeros(
         (br * wp, b_ref.shape[1]), jnp.float32
     )
+
     for kk in range(k):
+        rely_k = rely_ref[0, :, kk : kk + 1]                    # (N, 1)
+        relx_k = relxm_ref[0, :, kk : kk + 1]                   # (N, 1)
+        mskh_k = relxm_ref[0, :, k + kk : k + kk + 1]           # (N, 1)
+        dy0 = bounds_ref[0, 0, kk, 0]
+        dy1 = bounds_ref[0, 0, kk, 1]
+        dx0 = bounds_ref[0, 0, kk, 2]
+        dx1 = bounds_ref[0, 0, kk, 3]
+        acc[0] = jnp.zeros((br * wp, c), jnp.float32)
+
+        def row_shift(dy, _):
+            dyf = (d_lo + dy).astype(jnp.float32)
+            hym = jnp.maximum(0.0, 1.0 - jnp.abs(rely_k - dyf)) * mskh_k
+            if stride == 1:
+                py, by = 0, dy
+            else:
+                py = jax.lax.rem(dy, stride)
+                by = jax.lax.div(dy, stride)
+            for dx in range(dsz):
+                pxs, bxs = dx % stride, dx // stride
+
+                def fma():
+                    sl = band[py, pxs, pl.ds(by, br), bxs : bxs + wp, :]
+                    sl = sl.reshape(br * wp, c).astype(jnp.float32)
+                    hx = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(relx_k - float(d_lo + dx))
+                    )
+                    acc[0] += (hym * hx) * sl
+
+                jax.lax.cond((dx0 <= dx) & (dx <= dx1), fma, lambda: None)
+            return 0
+
+        jax.lax.fori_loop(dy0, dy1 + 1, row_shift, 0)
         out += jnp.dot(
-            acc[kk].astype(w_ref.dtype), w_ref[kk],
+            acc[0].astype(w_ref.dtype), w_ref[kk],
             preferred_element_type=jnp.float32,
             precision=mm_prec,
         )
+
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -165,23 +182,34 @@ def modulated_deform_conv_pallas(
     off = offset.reshape(b, ho, wo, k, 2).astype(jnp.float32)
     off = jnp.clip(off, -float(radius), float(radius))
     rel = off + jnp.asarray(tap, jnp.float32)  # (B,Ho,Wo,9,2)
-    rely = rel[..., 0]
+    # edge-pad so padded rows/cols never widen the per-block shift bounds
+    # (their garbage output is cropped below).
+    rel = jnp.pad(
+        rel,
+        ((0, 0), (0, ho_pad - ho), (0, wp - wo), (0, 0), (0, 0)),
+        mode="edge",
+    )
+    rely = rel[..., 0]  # (B, Hop, Wp, 9)
+    relx = rel[..., 1]
+
+    # per-(block, tap) inclusive integer shift bounds: hat(rel - d) != 0 only
+    # for d in {floor(rel), floor(rel)+1}.
+    relb = rel.reshape(b, nblk, br * wp, k, 2)
+    lo = jnp.floor(jnp.min(relb, axis=2)).astype(jnp.int32) - d_lo
+    hi = jnp.floor(jnp.max(relb, axis=2)).astype(jnp.int32) + 1 - d_lo
+    lo = jnp.clip(lo, 0, dsz - 1)
+    hi = jnp.clip(hi, 0, dsz - 1)
+    bounds = jnp.stack(
+        [lo[..., 0], hi[..., 0], lo[..., 1], hi[..., 1]], axis=-1
+    )  # (B, nblk, 9, 4)
+
     # relx and modulation share one operand (lane 0:9 relx, 9:18 mask); keeps
-    # the kernel at two coefficient streams. rel_x for padded cols is pushed
-    # out of the hat-window support so padded positions contribute 0.
-    relxm = jnp.concatenate(
-        [rel[..., 1], mask.astype(jnp.float32)], axis=-1
-    )  # (B,Ho,Wo,18)
-    rely = jnp.pad(
-        rely,
+    # the kernel at two coefficient streams.
+    maskp = jnp.pad(
+        mask.astype(jnp.float32),
         ((0, 0), (0, ho_pad - ho), (0, wp - wo), (0, 0)),
-        constant_values=2.0 * dsz,
     )
-    relxm = jnp.pad(
-        relxm,
-        ((0, 0), (0, ho_pad - ho), (0, wp - wo), (0, 0)),
-        constant_values=2.0 * dsz,
-    )
+    relxm = jnp.concatenate([relx, maskp], axis=-1)  # (B,Hop,Wp,18)
     rely = rely.reshape(b, ho_pad * wp, k)
     relxm = relxm.reshape(b, ho_pad * wp, 2 * k)
 
@@ -224,6 +252,10 @@ def modulated_deform_conv_pallas(
         grid=(b, nblk),
         in_specs=[
             pl.BlockSpec(
+                (1, 1, k, 4), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
                 (1, br * wp, k), lambda bi, i: (bi, i, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -242,13 +274,13 @@ def modulated_deform_conv_pallas(
         out_shape=jax.ShapeDtypeStruct((b, ho_pad * wp, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((s, s, band_rows, wp2, c), x.dtype),
-            pltpu.VMEM((k, br * wp, c), jnp.float32),
+            pltpu.VMEM((1, br * wp, c), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(rely, relxm, xp, w_mat, bias_arr)
+    )(bounds, rely, relxm, xp, w_mat, bias_arr)
 
     return out.reshape(b, ho_pad, wp, cout)[:, :ho, :wo]
