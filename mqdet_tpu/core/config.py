@@ -270,6 +270,7 @@ def default_config() -> CfgNode:
     c.DATASETS.GENERAL_COPY = -1
     c.DATASETS.OVERRIDE_CATEGORY = ""
     c.DATASETS.CAPTION_PROMPT = ""
+    c.DATASETS.PREDEFINED_TEXT = ""
     c.DATASETS.SPECIAL_SAFEGUARD_FOR_COCO_GROUNDING = False
 
     c.DATALOADER = CfgNode()
@@ -328,6 +329,7 @@ def default_config() -> CfgNode:
     c.VISION_QUERY = CfgNode()
     c.VISION_QUERY.ENABLED = False
     c.VISION_QUERY.QUERY_BANK_PATH = ""
+    c.VISION_QUERY.DATASET_NAME = ""
     c.VISION_QUERY.NUM_QUERY_PER_CLASS = 5
     c.VISION_QUERY.MAX_QUERY_NUMBER = 5000
     c.VISION_QUERY.MAX_TEST_QUERY_NUMBER = 100

@@ -57,12 +57,20 @@ def build_dataset(cfg, name: str, train: bool):
         "img_dir/ann_file in the config"
     )
     root = cfg.DATASETS.DATA_ROOT
+    override = None
+    if cfg.DATASETS.USE_OVERRIDE_CATEGORY and cfg.DATASETS.OVERRIDE_CATEGORY:
+        # ODinW configs carry the corrected category list as a JSON string
+        # (reference DATASETS.OVERRIDE_CATEGORY, tools/finetune.py:567-575)
+        import json as _json
+
+        override = _json.loads(cfg.DATASETS.OVERRIDE_CATEGORY)
     return CocoDetectionDataset(
         os.path.join(root, reg["ann_file"]),
         os.path.join(root, reg["img_dir"]),
         exclude_crowd=cfg.DATASETS.EXCLUDE_CROWD,
         few_shot=cfg.DATASETS.FEW_SHOT if train else 0,
         shuffle_seed=cfg.DATASETS.SHUFFLE_SEED,
+        override_category=override,
     )
 
 
