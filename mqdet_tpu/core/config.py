@@ -206,6 +206,7 @@ def default_config() -> CfgNode:
     c.MODEL.DYHEAD.FUSE_CONFIG.TYPE = "MHA-B"
     c.MODEL.DYHEAD.FUSE_CONFIG.JOINT_EMB_SIZE = 256
     c.MODEL.DYHEAD.FUSE_CONFIG.JOINT_EMB_DROPOUT = 0.1
+    c.MODEL.DYHEAD.FUSE_CONFIG.ADD_LINEAR_LAYER = False
     c.MODEL.DYHEAD.FUSE_CONFIG.USE_DOT_PRODUCT_TOKEN_LOSS = True
     c.MODEL.DYHEAD.FUSE_CONFIG.USE_TOKEN_LOSS = False
     c.MODEL.DYHEAD.FUSE_CONFIG.USE_CLASSIFICATION_LOSS = False
@@ -402,15 +403,50 @@ def default_config() -> CfgNode:
 # --- named high-level tuning recipes (mirrors tuning_highlevel_override) ---
 # Each recipe returns (trainable_patterns, overrides). A parameter is
 # trainable iff any pattern is a substring of its flattened path.
+# Pattern vocabulary (flattened param paths): "backbone" (Swin), "fpn",
+# "rpn" (VLDyHead incl. fusion + heads), "language_backbone" (BERT + GCP),
+# "qv_layer"/"pre_select"/"attn_gate"/"ff_gate" (GCP pieces),
+# "tunable_linear" (prompt layer), "query_bank" (learnable bank),
+# head-linear-probe subset = final prediction convs.
+_HEAD_PROBE = ["cls_logits", "bbox_pred", "centerness", "dot_product_projection"]
+_GCP = ["qv_layer", "pre_select", "attn_gate", "ff_gate"]
 TUNING_RECIPES: Dict[str, List[str]] = {
-    # modulated pre-training: train only GCP + pre-select (+ selector bank)
-    "vision_query": ["qv_layer", "pre_select", "attn_gate", "ff_gate"],
-    # few-shot finetuning recipe v3: GCP + prompt-tuning linear
-    "vision_query_v3": ["qv_layer", "pre_select", "attn_gate", "ff_gate", "tunable_linear"],
-    # full finetuning
+    # full finetuning (reference tools/finetune.py:320-326)
     "full": [""],
-    # language-only prompt tuning
+    # modulated pre-training: the reference combines the "vision_query"
+    # recipe (freeze backbone+FPN, :345-351) with train_net.py:67-82's
+    # freeze-all-but-GCP when VISION_QUERY.ENABLED — effective trainables
+    # are the GCP pieces only
+    "vision_query": _GCP,
+    # frozen image tower, everything else trains (:327-337, :353-360)
+    "full_with_vs": ["rpn", "language_backbone"],
+    "full_frozen_image": ["rpn", "language_backbone"],
+    # full finetune but vision queries disabled (:338-344)
+    "full_vs": [""],
+    # only GCP cross-attention (+ selector bank) (:361-369)
+    "vision_query_v2": _GCP,
+    # v2 + prompt-tuning linear (:370-378) — the ODinW few-shot default
+    "vision_query_v3": _GCP + ["tunable_linear"],
+    # v3 semantics with prompt-weight init (:389-397)
+    "vision_query_v4": _GCP + ["tunable_linear"],
+    # v3 + learnable query bank (:379-388)
+    "vision_query_v5": _GCP + ["tunable_linear", "query_bank"],
+    # learnable bank only (:398-406)
+    "query_prompt": ["query_bank"],
+    # extra vision layer only (:407-416)
+    "query_prompt_v2": ["vision_layer"],
+    # head linear probe (:417-425)
+    "linear_prob": _HEAD_PROBE,
+    # adapter layers (:426-435)
+    "adapter": ["adapter"],
+    # learnable bank + prompt linear, rest frozen (:436-442)
+    "vision_language_prompt": ["query_bank", "tunable_linear"],
+    # language-prompt family (:443-476)
+    "language_prompt_v1": ["language_backbone"],
     "language_prompt_v2": ["tunable_linear"],
+    "language_prompt_v3": _HEAD_PROBE + ["language_backbone"],
+    "language_prompt_v4": _HEAD_PROBE + ["tunable_linear"],
+    "language_prompt_v5": ["tunable_linear", "language_backbone"],
 }
 
 

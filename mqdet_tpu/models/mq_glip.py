@@ -68,6 +68,7 @@ class MQGLIP(nn.Module):
     start_qv_layer: int = 6
     vision_scale: float = 1.0
     query_fusion: bool = False
+    add_linear_layer: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -91,6 +92,7 @@ class MQGLIP(nn.Module):
             start_qv_layer=cfg.VISION_QUERY.START_QV_LAYER,
             vision_scale=cfg.VISION_QUERY.VISION_SCALE,
             query_fusion=cfg.VISION_QUERY.QUERY_FUSION,
+            add_linear_layer=cfg.MODEL.DYHEAD.FUSE_CONFIG.ADD_LINEAR_LAYER,
             dtype=dt,
         )
 
@@ -119,6 +121,7 @@ class MQGLIP(nn.Module):
         )
         self.rpn = VLDyHead(
             query_fusion=self.query_fusion,
+            add_linear_layer=self.add_linear_layer,
             num_convs=self.num_convs,
             channels=self.out_channels,
             in_channels=self.out_channels,

@@ -223,6 +223,7 @@ class VLDyHead(nn.Module):
     early_fuse: bool = True
     use_fused_dot_product: bool = True
     query_fusion: bool = False
+    add_linear_layer: bool = False
     gn_groups: int = 16
     dtype: Dtype = jnp.float32
 
@@ -238,6 +239,18 @@ class VLDyHead(nn.Module):
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         attn_bias = (1.0 - lang_masks[:, None, None, :].astype(jnp.float32)) * -10000.0
+
+        # prompt-tuning layer (ADD_LINEAR_LAYER, vldyhead.py:929-958): a
+        # zero-init (1000, lang_dim) additive prompt applied to both the
+        # fused text stream and the aggregate embedding
+        if self.add_linear_layer:
+            tl = self.param(
+                "tunable_linear", nn.initializers.zeros, (1000, self.lang_dim)
+            )
+            t = lang_hidden.shape[1]
+            lang_hidden = lang_hidden + tl[None, :t, :].astype(lang_hidden.dtype)
+            if embedding is not None:
+                embedding = embedding + tl[None, :t, :].astype(embedding.dtype)
 
         # SupportFuse / VISION_QUERY.QUERY_FUSION (vldyhead.py:576-590):
         # inject the PreSelect-augmented queries into the text stream with one

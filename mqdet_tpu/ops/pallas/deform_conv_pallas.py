@@ -216,7 +216,9 @@ def modulated_deform_conv_pallas(
     # ---- padded, phase-decomposed input -----------------------------------
     pad_lo = -d_lo
     hp2 = ho_pad + (dsz - 1) // s + 1
-    wp2 = wp + (dsz - 1) // s + 1
+    # wp2 is the sublane dim of the HBM-resident phase array: the band DMA
+    # slices it at tile granularity, so it must be a multiple of 8.
+    wp2 = -(-(wp + (dsz - 1) // s + 1) // 8) * 8
     need_h = (hp2 - 1) * s + (s - 1) + 1
     need_w = (wp2 - 1) * s + (s - 1) + 1
     xp = jnp.pad(
