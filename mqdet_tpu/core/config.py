@@ -325,6 +325,15 @@ def default_config() -> CfgNode:
     c.TEST.EXPECTED_RESULTS = ()
     c.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
     c.TEST.USE_MULTISCALE = False
+    # TTA knobs (box_aug.py im_detect_bbox_aug; defaults.py TEST block)
+    c.TEST.SCALES = (400, 500, 600, 700, 900, 1000, 1100, 1200)
+    c.TEST.RANGES = ()
+    c.TEST.MAX_SIZE = 2000
+    c.TEST.FLIP = True
+    c.TEST.SPECIAL_NMS = "none"
+    c.TEST.TH = 0.6
+    c.TEST.PRE_NMS_TOP_N = 1000
+    c.TEST.SELECT_CLASSES = ()
 
     # ---- MQ-Det vision query block (reference: defaults.py:899-938) ------
     c.VISION_QUERY = CfgNode()
