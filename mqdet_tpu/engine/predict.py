@@ -142,3 +142,41 @@ def make_split_predict_fns(model, image_hw: Tuple[int, int], cfg):
         return atss_postprocess(head_out, anchors_levels, agg_map, image_sizes, p)
 
     return encode_fn, head_fn
+
+
+def make_protocol_fn(model, image_hw: Tuple[int, int], cfg):
+    """Whole-protocol single dispatch: encode ONE image + lax.map the head
+    over all chunk groups inside one jit.
+
+    protocol_fn(params, image (1,H,W,3),
+                input_ids (G, CP, T), attention_mask (G, CP, T),
+                queries (G, CP, V, C), query_mask (G, CP, V, T),
+                agg_map (G, CP, Cls, T), image_sizes (G, CP, 2))
+      -> Detections with leading (G, CP) batch dims.
+
+    vs make_split_predict_fns this removes the per-chunk-group dispatch
+    (25-60 ms host round-trip each through a remote runtime; still one
+    enqueue+sync per group locally) and lets XLA overlap groups.
+    """
+    encode_fn, head_fn = make_split_predict_fns(model, image_hw, cfg)
+    # reuse the head inner (unjitted) by re-deriving it: head_fn is jitted but
+    # calling it inside jit re-traces the underlying function — acceptable.
+
+    @jax.jit
+    def protocol_fn(params, image, input_ids, attention_mask, queries,
+                    query_mask, agg_map, image_sizes):
+        feats = tuple(
+            model.apply(params, image, method=type(model).encode_image)
+        )
+
+        def one_group(args):
+            ii, am, q, qm, ag, sz = args
+            return head_fn(params, feats, ii, am, q, qm, ag, sz)
+
+        return jax.lax.map(
+            one_group,
+            (input_ids, attention_mask, queries, query_mask, agg_map,
+             image_sizes),
+        )
+
+    return protocol_fn
