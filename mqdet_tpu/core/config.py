@@ -405,6 +405,16 @@ def default_config() -> CfgNode:
     c.TPU.MAX_DETECTIONS_PRE_NMS = 1000
     c.TPU.REMAT = False
 
+    # GLIPKNOW knowledge-augmented prompts (defaults.py:887-894)
+    c.GLIPKNOW = CfgNode()
+    c.GLIPKNOW.KNOWLEDGE_FILE = ""
+    c.GLIPKNOW.KNOWLEDGE_TYPE = ""
+    c.GLIPKNOW.MAX_NUM_CLASSES_PER_BATCH_TRAIN = -1
+    c.GLIPKNOW.PARALLEL_LANGUAGE_INPUT = False
+    c.GLIPKNOW.LAN_FEATURE_AGG_TYPE = "first"
+    c.GLIPKNOW.GPT3_NUM = 5
+    c.GLIPKNOW.WIKI_AND_GPT3 = False
+
     c.OUTPUT_DIR = "OUTPUT"
     return c
 
