@@ -305,3 +305,30 @@ def test_pallas_deform_conv_matches_window(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-4
         )
+
+
+def test_pallas_gather_deform_conv_matches_window(rng):
+    """4-corner dynamic-gather kernel (interpret mode; blocked on hw by
+    Mosaic single-vreg gather — see module docstring)."""
+    from mqdet_tpu.ops.deform_conv import modulated_deform_conv_window
+    from mqdet_tpu.ops.pallas.deform_conv_gather_pallas import (
+        modulated_deform_conv_pallas_gather,
+    )
+
+    for stride in (1, 2):
+        h, w_ = 12, 20
+        ho, wo = -(-h // stride), -(-w_ // stride)
+        x = jnp.asarray(rng.standard_normal((1, h, w_, 8)).astype(np.float32))
+        offset = jnp.asarray(
+            (rng.standard_normal((1, ho, wo, 18)) * 1.5).astype(np.float32)
+        )
+        mask = jnp.asarray(rng.random((1, ho, wo, 9)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, 8, 8)) * 0.1).astype(np.float32)
+        )
+        ref = modulated_deform_conv_window(x, offset, mask, w, stride=stride, radius=2)
+        got = modulated_deform_conv_pallas_gather(
+            x, offset, mask, w, stride=stride, radius=2, block_rows=4,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
