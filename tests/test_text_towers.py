@@ -1,0 +1,35 @@
+"""CLIP text transformer + RNN encoder towers."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mqdet_tpu.models.text_towers import CLIPTextTransformer, RNNEncoder
+
+
+def test_clip_text_shapes(rng):
+    m = CLIPTextTransformer(context_length=16, width=64, layers=2, heads=4,
+                            vocab_size=100)
+    ids = jnp.asarray(rng.integers(0, 100, (2, 16)))
+    mask = jnp.ones((2, 16), jnp.int32).at[0, 8:].set(0)
+    params = m.init(jax.random.PRNGKey(0), ids, mask)
+    out = m.apply(params, ids, mask)
+    assert out["hidden"].shape == (2, 16, 64)
+    assert out["aggregate"].shape == (2, 16, 64)
+    # padded keys must not influence valid-query outputs
+    ids2 = ids.at[0, 8:].set(7)
+    out2 = m.apply(params, ids2, mask)
+    np.testing.assert_allclose(
+        np.asarray(out["hidden"][0, :8]), np.asarray(out2["hidden"][0, :8]),
+        atol=1e-5,
+    )
+
+
+def test_rnn_encoder_shapes(rng):
+    m = RNNEncoder(vocab_size=50, word_embedding_size=32, word_vec_size=32,
+                   hidden_size=16)
+    ids = jnp.asarray(rng.integers(1, 50, (3, 10)))
+    mask = jnp.ones((3, 10), jnp.int32).at[1, 4:].set(0)
+    params = m.init(jax.random.PRNGKey(0), ids, mask)
+    out = m.apply(params, ids, mask, deterministic=True)
+    assert out["output"].shape == (3, 10, 32)  # bidirectional 2*16
+    assert out["final_output"].shape == (3, 32)
