@@ -428,7 +428,7 @@ class MQGroundingDINO(nn.Module):
         srcs = []
         for i, f in enumerate(feats):
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
-            x = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"input_proj_{i}_gn")(x)
+            x = nn.GroupNorm(num_groups=min(32, self.hidden_dim), dtype=self.dtype, name=f"input_proj_{i}_gn")(x)
             srcs.append(x)
         if self.num_feature_levels > len(srcs):
             x = nn.Conv(
@@ -436,7 +436,8 @@ class MQGroundingDINO(nn.Module):
                 name=f"input_proj_{len(feats)}_conv",
             )(feats[-1])
             x = nn.GroupNorm(
-                num_groups=32, dtype=self.dtype, name=f"input_proj_{len(feats)}_gn"
+                num_groups=min(32, self.hidden_dim), dtype=self.dtype,
+                name=f"input_proj_{len(feats)}_gn"
             )(x)
             srcs.append(x)
 
