@@ -48,17 +48,29 @@ class BiMultiHeadAttention(nn.Module):
 
         q, k, vv, vl = map(split_heads, (q, k, vv, vl))
 
-        attn = jnp.einsum("bhnd,bhtd->bhnt", q, k, preferred_element_type=jnp.float32)
+        # The (B, H, N, T) attention tensor is ~0.5 GB at LVIS eval shapes and
+        # is read back twice (v- and l-side) — keep it in the compute dtype
+        # (MXU still accumulates f32 internally) and run the softmax with f32
+        # reduction; an f32 materialization doubles the HBM bill of the
+        # fusion stage.
+        attn = jnp.einsum("bhnd,bhtd->bhnt", q, k)
 
-        # language attention: transpose, subtract max (fuse_helper.py:252-254)
-        attn_l = attn.transpose(0, 1, 3, 2)
-        attn_l = attn_l - jax.lax.stop_gradient(attn_l.max(axis=-1, keepdims=True))
-        attn_l = jax.nn.softmax(attn_l, axis=-1)
+        def softmax_f32acc(x, axis):
+            m = jax.lax.stop_gradient(x.max(axis=axis, keepdims=True))
+            e = jnp.exp((x - m).astype(jnp.float32))
+            return (e / e.sum(axis=axis, keepdims=True)).astype(x.dtype)
+
+        # language attention: softmax over the vision axis, computed in place
+        # (the reference transposes first, fuse_helper.py:252-254 — a 0.5 GB
+        # relayout at eval shapes; softmax over axis -2 is equivalent)
+        attn_l = softmax_f32acc(attn, -2)
 
         if attention_mask_l is not None:
-            bias = jnp.where(attention_mask_l[:, None, None, :] == 0, -9e15, 0.0)
+            bias = jnp.where(
+                attention_mask_l[:, None, None, :] == 0, -9e15, 0.0
+            ).astype(attn.dtype)
             attn = attn + bias
-        attn_v = jax.nn.softmax(attn, axis=-1)
+        attn_v = softmax_f32acc(attn, -1)
 
         attn_v = nn.Dropout(self.dropout)(attn_v, deterministic=deterministic)
         attn_l = nn.Dropout(self.dropout)(attn_l, deterministic=deterministic)
@@ -68,7 +80,7 @@ class BiMultiHeadAttention(nn.Module):
             preferred_element_type=jnp.float32,
         ).astype(self.dtype)
         out_l = jnp.einsum(
-            "bhtn,bhnd->bhtd", attn_l.astype(vv.dtype), vv,
+            "bhnt,bhnd->bhtd", attn_l.astype(vv.dtype), vv,
             preferred_element_type=jnp.float32,
         ).astype(self.dtype)
 

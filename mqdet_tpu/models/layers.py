@@ -190,32 +190,43 @@ def avg_pool_2x(x):
     return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
-def upsample_bilinear(x, out_h: int, out_w: int):
-    """F.upsample_bilinear (align_corners=True in legacy torch upsample_bilinear)."""
-    b, h, w, c = x.shape
-    # torch F.upsample_bilinear uses align_corners=True
-    return _resize_align_corners(x, out_h, out_w)
+def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> "np.ndarray":
+    """(out, in) interpolation matrix. Resampling-as-matmul: gathers are slow
+    on TPU, but a resize is a linear map, so it rides the MXU as two small
+    matmuls (rows then cols)."""
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    for o in range(out_size):
+        if align_corners:
+            pos = o * (in_size - 1) / max(out_size - 1, 1)
+        else:
+            pos = (o + 0.5) * in_size / out_size - 0.5
+        pos = min(max(pos, 0.0), in_size - 1.0)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, in_size - 1)
+        f = pos - lo
+        m[o, lo] += 1.0 - f
+        m[o, hi] += f
+    return m
 
 
-def _resize_align_corners(x, out_h, out_w):
+def resize_bilinear_matmul(x, out_h: int, out_w: int, align_corners: bool = True):
+    """Bilinear resize of (B, H, W, C) via static interpolation matrices."""
     b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
-    ys = jnp.linspace(0.0, h - 1.0, out_h)
-    xs = jnp.linspace(0.0, w - 1.0, out_w)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = (ys - y0)[None, :, None, None]
-    lx = (xs - x0)[None, None, :, None]
-    v00 = x[:, y0][:, :, x0]
-    v01 = x[:, y0][:, :, x1]
-    v10 = x[:, y1][:, :, x0]
-    v11 = x[:, y1][:, :, x1]
-    return (
-        v00 * (1 - ly) * (1 - lx)
-        + v01 * (1 - ly) * lx
-        + v10 * ly * (1 - lx)
-        + v11 * ly * lx
-    )
+    wy = jnp.asarray(_bilinear_matrix(h, out_h, align_corners), x.dtype)
+    wx = jnp.asarray(_bilinear_matrix(w, out_w, align_corners), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", wy, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,bowc->bopc", wx, y.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
+
+
+def upsample_bilinear(x, out_h: int, out_w: int):
+    """F.upsample_bilinear (align_corners=True in legacy torch upsample_bilinear)."""
+    return resize_bilinear_matmul(x, out_h, out_w, align_corners=True)

@@ -125,9 +125,12 @@ def resize_offsets(offset: jnp.ndarray, mask: jnp.ndarray, ho: int, wo: int):
     rescaled — matching the stride-2 case where reference offset maps already
     align 1:1 with the output grid.
     """
-    b = offset.shape[0]
+    from mqdet_tpu.models.layers import resize_bilinear_matmul
+
     om = jnp.concatenate([offset, mask], axis=-1)
-    om = jax.image.resize(om, (b, ho, wo, om.shape[-1]), method="bilinear")
+    # half-pixel bilinear as two static matmuls (jax.image.resize lowers to
+    # gathers — pathologically slow on TPU)
+    om = resize_bilinear_matmul(om, ho, wo, align_corners=False)
     return om[..., :18], om[..., 18:]
 
 
