@@ -16,6 +16,9 @@ import jax  # noqa: E402
 # The axon TPU-tunnel plugin (sitecustomize) force-sets jax_platforms at
 # interpreter boot, which overrides the env var; undo it for tests.
 jax.config.update("jax_platforms", "cpu")
+# This jax build truncates f32 matmul operands to bf16 at DEFAULT precision
+# even on CPU (TPU-numerics emulation); parity tests need exact f32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
