@@ -27,6 +27,7 @@ def main():
     p.add_argument("--config-file", required=True)
     p.add_argument("--weight", default=None)
     p.add_argument("--task-config", default=None)
+    p.add_argument("--additional-model-config", default=None)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--lvis", action="store_true", help="use LVIS fixed-AP protocol")
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])

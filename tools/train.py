@@ -39,11 +39,13 @@ def load_config(args):
 
     cfg = default_config()
     cfg.merge_from_file(args.config_file)
-    if args.task_config:
+    # reference override layering (tools/train_net.py:422-432): base yaml ->
+    # --task-config -> --additional-model-config -> positional KEY VALUE opts
+    if getattr(args, "task_config", None):
         cfg.merge_from_file(args.task_config)
-    if args.additional_model_config:
+    if getattr(args, "additional_model_config", None):
         cfg.merge_from_file(args.additional_model_config)
-    if args.opts:
+    if getattr(args, "opts", None):
         cfg.merge_from_list(args.opts)
     return cfg
 
