@@ -53,3 +53,27 @@ def test_od_view(tmp_path):
     assert img.shape == (6, 8, 3)
     assert boxes == [[1, 2, 5, 6], [0, 0, 3, 3]]
     assert names == ["cat", "dog"]
+
+
+def test_chunk_by_node_sampler():
+    from mqdet_tpu.data.samplers import distributed_shard_chunk_by_node
+
+    sizes = [10, 6, 6, 6, 6]          # 1 normal + 4 chunked
+    chunk = [False, True, True, True, True]
+    world, nodes, ppn = 4, 2, 2
+    seen_by_node = {0: set(), 1: set()}
+    all_seen = set()
+    for rank in range(world):
+        node = rank // ppn
+        idx = distributed_shard_chunk_by_node(
+            sizes, chunk, rank=rank, world_size=world, node_rank=node,
+            node_number=nodes, rank_within_node=rank % ppn,
+            process_num_per_node=ppn,
+        )
+        seen_by_node[node].update(i for i in idx if i >= 10)
+        all_seen.update(idx)
+    # node 0 only sees chunked datasets 1-2 (indices 10..21), node 1 sees 3-4
+    assert seen_by_node[0] <= set(range(10, 22))
+    assert seen_by_node[1] <= set(range(22, 34))
+    # full coverage of the dataset across ranks
+    assert all_seen == set(range(34))
