@@ -80,6 +80,7 @@ class MQGLIP(nn.Module):
             num_heads=tuple(cfg.MODEL.SWINT.NUM_HEADS),
             window_size=cfg.MODEL.SWINT.WINDOW_SIZE,
             drop_path_rate=cfg.MODEL.SWINT.DROP_PATH_RATE,
+            swin_version=cfg.MODEL.SWINT.VERSION,
             out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
             num_convs=cfg.MODEL.DYHEAD.NUM_CONVS,
             num_classes=cfg.MODEL.DYHEAD.NUM_CLASSES - 1,
@@ -103,6 +104,7 @@ class MQGLIP(nn.Module):
             num_heads=self.num_heads,
             window_size=self.window_size,
             drop_path_rate=self.drop_path_rate,
+            version=self.swin_version,
             dtype=self.dtype,
             name="backbone",
         )

@@ -19,6 +19,8 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import math
+
 import numpy as np
 from flax import linen as nn
 
@@ -75,6 +77,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    version: str = "v1"  # v1: scaled dot product; v2: cosine attn + log-CPB
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -87,18 +90,52 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        if self.version == "v2":
+            # Swin-v2 (swint_v2.py): cosine similarity attention with a
+            # learnable per-head temperature clamped at log(100)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-6)
+            k = k / jnp.linalg.norm(k, axis=-1, keepdims=True).clip(1e-6)
+            logit_scale = self.param(
+                "logit_scale",
+                nn.initializers.constant(math.log(10.0)),
+                (h, 1, 1),
+            )
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            )
+            attn = attn * jnp.exp(
+                jnp.minimum(logit_scale, math.log(100.0))
+            )[None].astype(attn.dtype)
 
-        table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(0.02),
-            ((2 * self.window_size - 1) ** 2, h),
-        )
-        idx = _rel_pos_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # (h, n, n)
-        attn = attn + bias[None].astype(attn.dtype)
+            # log-spaced continuous position bias MLP (CPB)
+            ws = self.window_size
+            coords = np.arange(-(ws - 1), ws, dtype=np.float32)
+            grid = np.stack(np.meshgrid(coords, coords, indexing="ij"), -1)
+            grid = grid / (ws - 1) * 8.0
+            grid = np.sign(grid) * np.log2(np.abs(grid) + 1.0) / np.log2(8.0)
+            tbl = jnp.asarray(grid.reshape(-1, 2), self.dtype)
+            cpb = nn.Dense(512, dtype=self.dtype, name="cpb_mlp_fc1")(tbl)
+            cpb = nn.relu(cpb)
+            cpb = nn.Dense(h, use_bias=False, dtype=self.dtype, name="cpb_mlp_fc2")(cpb)
+            idx = _rel_pos_index(self.window_size).reshape(-1)
+            bias = cpb[idx].reshape(n, n, h).transpose(2, 0, 1)
+            bias = 16.0 * nn.sigmoid(bias)
+            attn = attn + bias[None].astype(attn.dtype)
+        else:
+            q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+            attn = jnp.einsum(
+                "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+            )
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                ((2 * self.window_size - 1) ** 2, h),
+            )
+            idx = _rel_pos_index(self.window_size).reshape(-1)
+            bias = table[idx].reshape(n, n, h).transpose(2, 0, 1)  # (h, n, n)
+            attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
             nw = mask.shape[0]
@@ -118,6 +155,7 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float
     drop_path_rate: float
+    version: str = "v1"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -129,7 +167,9 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
         b, _, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if self.version != "v2":
+            # v1: pre-norm; v2 normalizes AFTER attention (swint_v2.py)
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
         hp = -(-h // ws) * ws
@@ -145,12 +185,25 @@ class SwinBlock(nn.Module):
         # does the same: padding participates, then is cropped).
         xw = window_partition(x, ws)
         xw = WindowAttention(
-            self.dim, self.num_heads, ws, dtype=self.dtype, name="attn"
+            self.dim, self.num_heads, ws, version=self.version,
+            dtype=self.dtype, name="attn",
         )(xw, mask=mask, deterministic=deterministic)
         x = window_reverse(xw, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = x[:, :h, :w].reshape(b, h * w, c)
+
+        if self.version == "v2":
+            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
+                x, deterministic=deterministic
+            )
+            y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                    name="mlp")(x, deterministic=deterministic)
+            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+            return x + DropPath(self.drop_path_rate, name="drop_path2")(
+                y, deterministic=deterministic
+            )
 
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
             x, deterministic=deterministic
@@ -198,6 +251,7 @@ class SwinTransformer(nn.Module):
     out_indices: Sequence[int] = (0, 1, 2, 3)
     # RETINANET arch: no out-norm on stage 0 (swint.py:544-552)
     norm_stage0: bool = False
+    version: str = "v1"  # v1 | v2 (swint.py / swint_v2.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -232,6 +286,7 @@ class SwinTransformer(nn.Module):
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path_rate=float(dpr[block_i]),
+                    version=self.version,
                     dtype=self.dtype,
                     name=f"layers_{i_layer}_blocks_{d}",
                 )(x, hh, ww, deterministic=deterministic)

@@ -158,3 +158,24 @@ def test_flatten_fpn_features(rng):
     ]
     out = flatten_fpn_features(feats)
     assert out.shape == (2, 16 + 4, 4)
+
+
+def test_swin_v2_variant(rng):
+    """Swin-v2: cosine attention + log-CPB + post-norm (swint_v2.py twin)."""
+    import jax
+
+    from mqdet_tpu.models.swin import SwinTransformer
+
+    m = SwinTransformer(
+        embed_dim=16, depths=(1, 1), num_heads=(2, 4), window_size=4,
+        out_indices=(0, 1), version="v2",
+    )
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    from flax.traverse_util import flatten_dict
+    names = {"/".join(k) for k in flatten_dict(params["params"]).keys()}
+    assert any("logit_scale" in n for n in names)
+    assert any("cpb_mlp_fc1" in n for n in names)
+    outs = m.apply(params, x)
+    assert outs[0].shape == (1, 8, 8, 16) and outs[1].shape == (1, 4, 4, 32)
+    assert not np.isnan(np.asarray(outs[1])).any()
