@@ -54,6 +54,7 @@ class MQGLIP(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     drop_path_rate: float = 0.2
+    swin_version: str = "v1"
     # FPN / head
     out_channels: int = 256
     num_convs: int = 6
