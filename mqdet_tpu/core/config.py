@@ -125,6 +125,14 @@ def default_config() -> CfgNode:
     c.MODEL.BACKBONE.OUT_CHANNELS = 256
     c.MODEL.BACKBONE.FREEZE = False
     c.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = -1
+    # EfficientDet backbone knobs (reference: config/defaults.py:260-262)
+    c.MODEL.BACKBONE.EFFICIENT_DET_START_FROM = 3
+    c.MODEL.BACKBONE.EFFICIENT_DET_COMPOUND = 0
+
+    # BiFPN options (reference: config/defaults.py:304-308)
+    c.MODEL.BIFPN = CfgNode()
+    c.MODEL.BIFPN.NUM_REPEATS = 1
+    c.MODEL.BIFPN.USE_ATTENTION = True
 
     # Swin transformer (reference: config/defaults.py:721-731, SWINT block)
     c.MODEL.SWINT = CfgNode()
