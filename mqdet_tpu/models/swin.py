@@ -1,10 +1,27 @@
-"""Swin Transformer backbone (v1) — TPU-native flax implementation.
+"""Swin Transformer backbone (v1/v2/vl/v2_vl) — TPU-native flax implementation.
 
 Capability twin of the reference GLIP backbone
 (maskrcnn_benchmark/modeling/backbone/swint.py:431-649): patch embed 4x4,
 four stages with windowed attention + relative position bias, shifted
 windows, patch merging, per-output LayerNorm (identity for stage2 under the
 RETINANET arch, swint.py:544-552).
+
+Version dispatch (SWINT.VERSION, modeling/backbone/__init__.py:44-54):
+  * "v1"  — swint.py: scaled dot-product window attention, pre-norm.
+  * "v2"  — swint_v2.py: cosine attention with learnable log-temperature,
+    log-CPB MLP relative bias, post-norm residuals.
+  * "vl"  — swint_vl.py: v1 attention plus joint image<->text window
+    attention in the LAST stage (swint_vl.py:618-620 gates ntext/dim_text to
+    the final BasicLayer): image windows attend over [window tokens; text
+    tokens] and text attends over [all image tokens; text tokens], with
+    learned additive biases i2t (2, nH, ntext — row 0 biases i2t columns,
+    row 1 biases t2i rows) and t2t (nH, ntext, ntext)
+    (swint_vl.py:113-211). The backbone consumes and updates
+    language_dict['hidden'] (swint_vl.py:712-735).
+  * "v2_vl" — swint_v2_vl.py: same scaled dot-product attention + text branch
+    as "vl" (its WindowAttention forward is identical); the file's only extra
+    is an optional layer_scale gamma that defaults OFF in the reference, so
+    we map it to the "vl" math.
 
 TPU-first choices:
   * NHWC throughout; all spatial sizes are static at trace time, so window
@@ -81,8 +98,14 @@ class WindowAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
-        """x: (B_, n, C); mask: (nW, n, n) additive or None."""
+    def __call__(self, x, mask=None, x_text=None, text_mask=None, deterministic=True):
+        """x: (B_, n, C); mask: (nW, n, n) additive or None.
+
+        x_text: (B, ntext, C_text) text features for the vl variants (the
+        window batch B_ must be B * nW); text_mask: (B, ntext) additive
+        (0 keep / large-negative drop). Returns (x, x_text) when text is
+        given, else x.
+        """
         b_, n, c = x.shape
         h = self.num_heads
         head_dim = c // h
@@ -142,10 +165,86 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(b_ // nw, nw, h, n, n) + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(b_, h, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
-        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        if x_text is None:
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32)
+            out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        # ---- vl variants: joint image<->text attention (swint_vl.py:149-207)
+        bt, ntext, _ = x_text.shape
+        nw = b_ // bt
+        assert bt * nw == b_, "window batch must be a multiple of text batch"
+        qkv_t = nn.Dense(
+            c * 3, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv_text"
+        )(x_text)
+        qkv_t = qkv_t.reshape(bt, ntext, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q_t, k_t, v_t = qkv_t[0] * scale, qkv_t[1], qkv_t[2]  # (bt, h, ntext, d)
+
+        i2t_bias = self.param(
+            "i2t_relative_position_bias",
+            nn.initializers.truncated_normal(0.02),
+            (2, h, ntext),
+        )
+        t2t_bias = self.param(
+            "t2t_relative_position_bias",
+            nn.initializers.truncated_normal(0.02),
+            (h, ntext, ntext),
+        )
+
+        # image side: each window's tokens also attend to the text tokens
+        qw = q.reshape(bt, nw, h, n, head_dim)
+        attn_i2t = jnp.einsum(
+            "bwhnd,bhmd->bwhnm", qw, k_t, preferred_element_type=jnp.float32
+        )
+        col_bias = i2t_bias[0][None, :, None, :]  # (1, h, 1, ntext)
+        if text_mask is not None:
+            col_bias = col_bias + text_mask[:, None, None, :]
+        attn_i2t = attn_i2t + col_bias[:, None].astype(attn_i2t.dtype)
+        attn_full = jnp.concatenate(
+            [attn.reshape(bt, nw, h, n, n), attn_i2t], axis=-1
+        )
+        attn_full = jax.nn.softmax(attn_full, axis=-1).astype(self.dtype)
+        a_img, a_txt = attn_full[..., :n], attn_full[..., n:]
+        out = jnp.einsum(
+            "bwhnm,bwhmd->bwhnd", a_img, v.reshape(bt, nw, h, n, head_dim),
+            preferred_element_type=jnp.float32,
+        ) + jnp.einsum(
+            "bwhnm,bhmd->bwhnd", a_txt, v_t, preferred_element_type=jnp.float32
+        )
+        out = out.astype(self.dtype).reshape(b_, h, n, head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        # text side: text attends over ALL image tokens + text tokens
+        k_all = k.reshape(bt, nw, h, n, head_dim).transpose(0, 2, 1, 3, 4)
+        k_all = k_all.reshape(bt, h, nw * n, head_dim)
+        v_all = v.reshape(bt, nw, h, n, head_dim).transpose(0, 2, 1, 3, 4)
+        v_all = v_all.reshape(bt, h, nw * n, head_dim)
+        attn_t2i = jnp.einsum(
+            "bhmd,bhkd->bhmk", q_t, k_all, preferred_element_type=jnp.float32
+        )
+        attn_t2i = attn_t2i + i2t_bias[1][None, :, :, None].astype(attn_t2i.dtype)
+        attn_t2t = jnp.einsum(
+            "bhmd,bhkd->bhmk", q_t, k_t, preferred_element_type=jnp.float32
+        )
+        attn_t2t = attn_t2t + t2t_bias[None].astype(attn_t2t.dtype)
+        if text_mask is not None:
+            attn_t2t = attn_t2t + text_mask[:, None, None, :].astype(attn_t2t.dtype)
+        attn_t = jax.nn.softmax(
+            jnp.concatenate([attn_t2i, attn_t2t], axis=-1), axis=-1
+        ).astype(self.dtype)
+        t_img, t_txt = attn_t[..., : nw * n], attn_t[..., nw * n:]
+        out_t = jnp.einsum(
+            "bhmk,bhkd->bhmd", t_img, v_all, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "bhmk,bhkd->bhmd", t_txt, v_t, preferred_element_type=jnp.float32
+        )
+        out_t = out_t.astype(self.dtype).transpose(0, 2, 1, 3).reshape(bt, ntext, c)
+        out_t = nn.Dense(
+            x_text.shape[-1], dtype=self.dtype, name="proj_text"
+        )(out_t)
+        return out, out_t
 
 
 class SwinBlock(nn.Module):
@@ -159,14 +258,22 @@ class SwinBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, h: int, w: int, deterministic=True):
-        """x: (B, H*W, C) with static (h, w)."""
+    def __call__(self, x, h: int, w: int, x_text=None, text_mask=None, deterministic=True):
+        """x: (B, H*W, C) with static (h, w).
+
+        x_text/text_mask: text stream for the vl variants (swint_vl.py
+        SwinTransformerBlock.forward:264-332); returns (x, x_text) when text
+        is given.
+        """
         ws = self.window_size
         # if the whole map fits in one window, shifting is a no-op modulo the
         # roll; disable it (standard Swin rule when window_size >= min(H, W))
         shift = self.shift_size if min(h, w) > ws else 0
         b, _, c = x.shape
         shortcut = x
+        shortcut_text = x_text
+        if x_text is not None:
+            x_text = nn.LayerNorm(dtype=self.dtype, name="norm1_text")(x_text)
         if self.version != "v2":
             # v1: pre-norm; v2 normalizes AFTER attention (swint_v2.py)
             x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
@@ -187,7 +294,10 @@ class SwinBlock(nn.Module):
         xw = WindowAttention(
             self.dim, self.num_heads, ws, version=self.version,
             dtype=self.dtype, name="attn",
-        )(xw, mask=mask, deterministic=deterministic)
+        )(xw, mask=mask, x_text=x_text, text_mask=text_mask,
+          deterministic=deterministic)
+        if x_text is not None:
+            xw, x_text = xw
         x = window_reverse(xw, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
@@ -212,9 +322,24 @@ class SwinBlock(nn.Module):
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
             y, deterministic=deterministic
         )
-        return x + DropPath(self.drop_path_rate, name="drop_path2")(
+        x = x + DropPath(self.drop_path_rate, name="drop_path2")(
             y, deterministic=deterministic
         )
+        if shortcut_text is None:
+            return x
+        # text residual + FFN (swint_vl.py:328-330)
+        ct = shortcut_text.shape[-1]
+        x_text = shortcut_text + DropPath(self.drop_path_rate, name="drop_path1_text")(
+            x_text, deterministic=deterministic
+        )
+        yt = nn.LayerNorm(dtype=self.dtype, name="norm2_text")(x_text)
+        yt = Mlp(int(ct * self.mlp_ratio), ct, dtype=self.dtype, name="mlp_text")(
+            yt, deterministic=deterministic
+        )
+        x_text = x_text + DropPath(self.drop_path_rate, name="drop_path2_text")(
+            yt, deterministic=deterministic
+        )
+        return x, x_text
 
 
 class PatchMerging(nn.Module):
@@ -255,8 +380,19 @@ class SwinTransformer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: (B, H, W, 3), H/W arbitrary (padded to /4 internally)."""
+    def __call__(self, x, x_text=None, text_masks=None, deterministic: bool = True):
+        """x: (B, H, W, 3), H/W arbitrary (padded to /4 internally).
+
+        For the vl variants, x_text (B, ntext, C_text) joins the LAST stage's
+        window attention (swint_vl.py:618-620,722-726) and the updated text
+        is returned as (stage_feats, x_text). text_masks: (B, ntext) with 1
+        for real tokens — converted to the additive form the attention uses
+        (swint_vl.py:713-718).
+        """
+        use_text = x_text is not None and self.version in ("vl", "v2_vl")
+        text_mask_add = None
+        if use_text and text_masks is not None:
+            text_mask_add = jnp.where(text_masks > 0, 0.0, -1e9).astype(jnp.float32)
         b, h, w, _ = x.shape
         ph = (-h) % 4
         pw = (-w) % 4
@@ -278,8 +414,9 @@ class SwinTransformer(nn.Module):
         block_i = 0
         dim = self.embed_dim
         for i_layer, depth in enumerate(self.depths):
+            last_stage = i_layer == len(self.depths) - 1
             for d in range(depth):
-                x = SwinBlock(
+                blk = SwinBlock(
                     dim=dim,
                     num_heads=self.num_heads[i_layer],
                     window_size=self.window_size,
@@ -289,7 +426,14 @@ class SwinTransformer(nn.Module):
                     version=self.version,
                     dtype=self.dtype,
                     name=f"layers_{i_layer}_blocks_{d}",
-                )(x, hh, ww, deterministic=deterministic)
+                )
+                if use_text and last_stage:
+                    x, x_text = blk(
+                        x, hh, ww, x_text=x_text, text_mask=text_mask_add,
+                        deterministic=deterministic,
+                    )
+                else:
+                    x = blk(x, hh, ww, deterministic=deterministic)
                 block_i += 1
 
             if i_layer in self.out_indices:
@@ -305,4 +449,6 @@ class SwinTransformer(nn.Module):
                 )(x, hh, ww)
                 dim *= 2
 
+        if use_text:
+            return outs, x_text
         return outs
