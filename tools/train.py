@@ -51,7 +51,13 @@ def load_config(args):
 
 
 def build_dataset(cfg, name: str, train: bool):
+    """Dataset factory dispatch (reference: paths_catalog factory field +
+    data/datasets/__init__.py registry). The REGISTER block may carry a
+    `factory` key; default is the COCO-format reader used by every MQ-Det
+    config."""
+    from mqdet_tpu.data import datasets_extra as DE
     from mqdet_tpu.data.coco import CocoDetectionDataset
+    from mqdet_tpu.data.tsv import ODTSVDataset
 
     reg = cfg.DATASETS.REGISTER.get(name)
     assert reg is not None, (
@@ -59,6 +65,38 @@ def build_dataset(cfg, name: str, train: bool):
         "img_dir/ann_file in the config"
     )
     root = cfg.DATASETS.DATA_ROOT
+    factory = reg.get("factory", "CocoDetectionDataset")
+
+    if factory in ("TSVDataset", "ODTSVDataset"):
+        return ODTSVDataset(os.path.join(root, reg["ann_file"]))
+    if factory in ("CaptionTSV", "CaptionTSVDataset"):
+        return DE.CaptionTSVDataset(os.path.join(root, reg["ann_file"]))
+    if factory == "Background":
+        return DE.BackgroundDataset(
+            os.path.join(root, reg["ann_file"]), os.path.join(root, reg["img_dir"])
+        )
+    if factory == "PascalVOCDataset":
+        return DE.PascalVOCDataset(
+            os.path.join(root, reg["data_dir"]), reg.get("split", "train")
+        )
+    if factory == "MixedDataset":
+        return DE.MixedDataset(
+            os.path.join(root, reg["ann_file"]),
+            os.path.join(root, reg["img_dir_coco"]),
+            os.path.join(root, reg["img_dir_vg"]),
+        )
+    grounding = {
+        "ModulatedDataset": DE.GroundingCaptionDataset,
+        "FlickrDataset": DE.FlickrDataset,
+        "RefExpDataset": DE.RefExpDataset,
+        "GQADataset": DE.GQADataset,
+        "PhrasecutDetection": DE.PhrasecutDetection,
+    }
+    if factory in grounding:
+        return grounding[factory](
+            os.path.join(root, reg["ann_file"]), os.path.join(root, reg["img_dir"])
+        )
+
     override = None
     if cfg.DATASETS.USE_OVERRIDE_CATEGORY and cfg.DATASETS.OVERRIDE_CATEGORY:
         # ODinW configs carry the corrected category list as a JSON string
