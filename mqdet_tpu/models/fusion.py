@@ -43,49 +43,52 @@ class BiMultiHeadAttention(nn.Module):
         vv = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(v)
         vl = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(l)
 
-        def split_heads(x):
-            return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
-
-        q, k, vv, vl = map(split_heads, (q, k, vv, vl))
-
-        # The (B, H, N, T) attention tensor is ~0.5 GB at LVIS eval shapes and
-        # is read back twice (v- and l-side) — keep it in the compute dtype
-        # (MXU still accumulates f32 internally) and run the softmax with f32
-        # reduction; an f32 materialization doubles the HBM bill of the
-        # fusion stage.
-        attn = jnp.einsum("bhnd,bhtd->bhnt", q, k)
+        # Heads stay in place — (B, S, H, D) einsums let dot_general fold the
+        # head split into the contraction instead of materializing four
+        # (B, H, N, D) relayouts (~0.4 GB each at LVIS eval shapes).
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, t, h, d)
+        vv = vv.reshape(b, n, h, d)
+        vl = vl.reshape(b, t, h, d)
 
         def softmax_f32acc(x, axis):
             m = jax.lax.stop_gradient(x.max(axis=axis, keepdims=True))
             e = jnp.exp((x - m).astype(jnp.float32))
             return (e / e.sum(axis=axis, keepdims=True)).astype(x.dtype)
 
-        # language attention: softmax over the vision axis, computed in place
-        # (the reference transposes first, fuse_helper.py:252-254 — a 0.5 GB
-        # relayout at eval shapes; softmax over axis -2 is equivalent)
-        attn_l = softmax_f32acc(attn, -2)
+        # Each side gets its own score tensor with its softmax axis MINOR
+        # (lane-dim reductions; a shared tensor forces one side to reduce
+        # across 2800 sublane tiles — measured 3x slower per fusion stage).
+        # The duplicated q·k matmul is ~0.5 ms; the layout win is larger.
+        # Both stay in compute dtype: the (B,H,N,T) pair is ~0.7 GB in bf16
+        # at eval shapes and an f32 materialization doubles that HBM bill.
+        attn_v = jnp.einsum("bnhd,bthd->bhnt", q, k)
+        # language attention: softmax over the vision axis (the reference
+        # transposes the shared tensor, fuse_helper.py:252-254 — same math)
+        attn_l = jnp.einsum("bthd,bnhd->bhtn", k, q)
+        attn_l = softmax_f32acc(attn_l, -1)
 
         if attention_mask_l is not None:
             bias = jnp.where(
                 attention_mask_l[:, None, None, :] == 0, -9e15, 0.0
-            ).astype(attn.dtype)
-            attn = attn + bias
-        attn_v = softmax_f32acc(attn, -1)
+            ).astype(attn_v.dtype)
+            attn_v = attn_v + bias
+        attn_v = softmax_f32acc(attn_v, -1)
 
         attn_v = nn.Dropout(self.dropout)(attn_v, deterministic=deterministic)
         attn_l = nn.Dropout(self.dropout)(attn_l, deterministic=deterministic)
 
         out_v = jnp.einsum(
-            "bhnt,bhtd->bhnd", attn_v.astype(vl.dtype), vl,
+            "bhnt,bthd->bnhd", attn_v.astype(vl.dtype), vl,
             preferred_element_type=jnp.float32,
         ).astype(self.dtype)
         out_l = jnp.einsum(
-            "bhnt,bhnd->bhtd", attn_l.astype(vv.dtype), vv,
+            "bhtn,bnhd->bthd", attn_l.astype(vv.dtype), vv,
             preferred_element_type=jnp.float32,
         ).astype(self.dtype)
 
-        out_v = out_v.transpose(0, 2, 1, 3).reshape(b, n, self.embed_dim)
-        out_l = out_l.transpose(0, 2, 1, 3).reshape(b, t, self.embed_dim)
+        out_v = out_v.reshape(b, n, self.embed_dim)
+        out_l = out_l.reshape(b, t, self.embed_dim)
 
         out_v = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
         out_l = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)

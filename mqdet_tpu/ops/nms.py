@@ -91,7 +91,7 @@ def class_aware_nms_matrix(
     valid: jnp.ndarray,
     iou_threshold: float,
     max_outputs: int,
-    row_block: int = 1024,
+    row_block: int = 512,
 ):
     """Exact greedy multi-label NMS via iterative self-suppression.
 
@@ -108,8 +108,13 @@ def class_aware_nms_matrix(
     hundreds of dependent scalar steps. Returns the same (keep_idx,
     keep_valid) contract as `class_aware_nms`, score-ordered.
 
-    The IoU matrix is built in row blocks of `row_block` to bound the
-    broadcast temporaries to row_block x N.
+    The relation is processed in rank-ordered blocks of `row_block`: a
+    block's IoU rows are built on the fly (never materializing the N x N
+    matrix), suppression from already-final earlier blocks is one masked
+    reduction, and only the small (row_block x row_block) within-block
+    relation iterates to its fixpoint. Sequential depth is
+    n/row_block blocks x O(chain depth) tiny matvecs, with O(row_block * N)
+    peak memory.
     """
     n = boxes.shape[0]
     neg = NEG_INF
@@ -119,52 +124,69 @@ def class_aware_nms_matrix(
     l_s = labels[order]
     v_s = valid[order] & (sorted_scores > neg / 2)
 
-    # suppression relation in row blocks: M[i, j] = j < i (rank) & same label
-    # & IoU > threshold
     area = (b_s[:, 2] - b_s[:, 0] + 1.0) * (b_s[:, 3] - b_s[:, 1] + 1.0)
-    rank = jnp.arange(n)
 
-    rb_size = min(row_block, n)
-    n_pad = -(-n // rb_size) * rb_size
+    blk = min(row_block, n)
+    n_pad = -(-n // blk) * blk
     pad = n_pad - n
-    b_p = jnp.pad(b_s, ((0, pad), (0, 0)))
-    area_p = jnp.pad(area, (0, pad))
-    l_p = jnp.pad(l_s, (0, pad))
+    # pad boxes far negative so their IoU with any real box is exactly 0
+    b_p = jnp.pad(b_s, ((0, pad), (0, 0)), constant_values=-1e8)
+    area_p = jnp.pad(area, (0, pad), constant_values=1.0)
+    l_p = jnp.pad(l_s, (0, pad), constant_values=-1)
+    v_p = jnp.pad(v_s, (0, pad))
+    rank = jnp.arange(n_pad)
 
-    def block_rows(start):
-        rows = jax.lax.dynamic_slice_in_dim(b_p, start, rb_size, 0)
-        r_area = jax.lax.dynamic_slice_in_dim(area_p, start, rb_size, 0)
-        r_label = jax.lax.dynamic_slice_in_dim(l_p, start, rb_size, 0)
-        r_rank = start + jnp.arange(rb_size)
-        lt = jnp.maximum(rows[:, None, :2], b_s[None, :, :2])
-        rb = jnp.minimum(rows[:, None, 2:], b_s[None, :, 2:])
+    def process_block(j, keep):
+        start = j * blk
+        rows = jax.lax.dynamic_slice_in_dim(b_p, start, blk, 0)
+        r_area = jax.lax.dynamic_slice_in_dim(area_p, start, blk, 0)
+        r_label = jax.lax.dynamic_slice_in_dim(l_p, start, blk, 0)
+        r_valid = jax.lax.dynamic_slice_in_dim(v_p, start, blk, 0)
+        r_rank = start + jnp.arange(blk)
+        lt = jnp.maximum(rows[:, None, :2], b_p[None, :, :2])
+        rb = jnp.minimum(rows[:, None, 2:], b_p[None, :, 2:])
         wh = jnp.clip(rb - lt + 1.0, 0.0)
         inter = wh[..., 0] * wh[..., 1]
-        iou = inter / (r_area[:, None] + area[None, :] - inter)
+        iou = inter / (r_area[:, None] + area_p[None, :] - inter)
         m = (
             (iou > iou_threshold)
-            & (r_label[:, None] == l_s[None, :])
+            & (r_label[:, None] == l_p[None, :])
             & (rank[None, :] < r_rank[:, None])
+        )  # (blk, n_pad), strict lower-triangular in rank
+
+        # suppression by already-final earlier blocks (cols >= start still
+        # have keep=False, so no extra column mask is needed)
+        supp_prev = jnp.any(m & keep[None, :], axis=-1)
+        live0 = r_valid & ~supp_prev
+
+        # within-block fixpoint on the (blk, blk) sub-relation; bf16 matvec
+        # is exact for 0/1 entries tested against > 0.5
+        m_local = jax.lax.dynamic_slice(m, (0, start), (blk, blk))
+        m_bf = m_local.astype(jnp.bfloat16)
+
+        def fcond(state):
+            k, prev, i = state
+            return (i < blk) & jnp.any(k != prev)
+
+        def fbody(state):
+            k, _, i = state
+            sup = (
+                jnp.matmul(
+                    m_bf, k.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                > 0.5
+            )
+            return live0 & ~sup, k, i + 1
+
+        k, _, _ = jax.lax.while_loop(
+            fcond, fbody, (live0, jnp.zeros_like(live0), jnp.int32(0))
         )
-        return m.astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(keep, k, (start,))
 
-    starts = jnp.arange(0, n_pad, rb_size)
-    M = jax.lax.map(block_rows, starts).reshape(n_pad, n)[:n]
-
-    def cond(state):
-        keep, prev, i = state
-        return (i < n) & jnp.any(keep != prev)
-
-    def body(state):
-        keep, _, i = state
-        suppressed = (M @ keep.astype(jnp.float32)) > 0.5
-        new_keep = v_s & ~suppressed
-        return new_keep, keep, i + 1
-
-    keep0 = v_s
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), jnp.int32(0))
-    )
+    keep = jax.lax.fori_loop(
+        0, n_pad // blk, process_block, jnp.zeros((n_pad,), bool)
+    )[:n]
 
     # emit top max_outputs kept, already score-ordered
     kept_rank_scores = jnp.where(keep, sorted_scores, neg)
