@@ -139,9 +139,122 @@ def _kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _kernel_v2(
+    bounds_ref,  # SMEM (1, 1, 9, 4) i32: per tap [dy0, dy1, dx0, dx1] incl.
+    rely_ref,    # (1, BR*Wp, 9)  rel_y (f32)
+    relxm_ref,   # (1, BR*Wp, 18) lanes 0:9 rel_x, 9:18 modulation (f32)
+    xp_ref,      # (B, S, S, Hp2, Wp2, C) phase-decomposed padded input (ANY)
+    w_ref,       # (9, C, Cout)
+    b_ref,       # (1, Cout)
+    out_ref,     # (1, BR*Wp, Cout)
+    band,        # scratch VMEM (2, S, S, BAND_ROWS, Wp2, C) double-buffered
+    band_sh,     # scratch VMEM (DSZ, S, BAND_ROWS, Wp, C) x-shifted copies
+    acc,         # scratch VMEM (1, BR*Wp, C) f32, reused per tap
+    sems,        # DMA semaphore array (2,)
+    *,
+    br: int,
+    wp: int,
+    c: int,
+    dsz: int,
+    d_lo: int,
+    stride: int,
+    band_rows: int,
+    nblk: int,
+):
+    """v1 with two structural changes (both ~2x at level-0 LVIS shapes):
+
+    * the band DMA is double-buffered across (sequential) grid steps, so the
+      HBM load of block i+1 overlaps block i's compute;
+    * per integer x-shift the band is copied ONCE into `band_sh` (static
+      sublane-offset slices), then both shift loops are dynamic-bound
+      fori_loops over free (untiled) dims — v1 paid a conditional and an
+      unaligned sublane window per (tap, dy, dx) triple.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    step = bi * nblk + i
+    nb_total = pl.num_programs(0) * nblk
+    slot = jax.lax.rem(step, 2)
+    k = 9
+
+    def dma_for(stp, slt):
+        bb = jax.lax.div(stp, nblk)
+        ii = jax.lax.rem(stp, nblk)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, :, :, pl.ds(ii * br, band_rows)],
+            band.at[slt],
+            sems.at[slt],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(step, slot).start()
+
+    dma_for(step, slot).wait()
+
+    @pl.when(step + 1 < nb_total)
+    def _():
+        dma_for(step + 1, 1 - slot).start()
+
+    # x-shifted copies: all later dynamic indexing lands on untiled dims
+    for dx in range(dsz):
+        pxs, bxs = dx % stride, dx // stride
+        for py in range(stride):
+            band_sh[dx, py] = band[slot, py, pxs, :, bxs : bxs + wp, :]
+
+    mm_prec = (
+        jax.lax.Precision.HIGHEST if w_ref.dtype == jnp.float32 else None
+    )
+    out = b_ref[0][None, :].astype(jnp.float32) + jnp.zeros(
+        (br * wp, b_ref.shape[1]), jnp.float32
+    )
+
+    for kk in range(k):
+        rely_k = rely_ref[0, :, kk : kk + 1]                    # (N, 1)
+        relx_k = relxm_ref[0, :, kk : kk + 1]                   # (N, 1)
+        mskh_k = relxm_ref[0, :, k + kk : k + kk + 1]           # (N, 1)
+        dy0 = bounds_ref[0, 0, kk, 0]
+        dy1 = bounds_ref[0, 0, kk, 1]
+        dx0 = bounds_ref[0, 0, kk, 2]
+        dx1 = bounds_ref[0, 0, kk, 3]
+        acc[0] = jnp.zeros((br * wp, c), jnp.float32)
+
+        def row_shift(dy, _):
+            dyf = (d_lo + dy).astype(jnp.float32)
+            hym = jnp.maximum(0.0, 1.0 - jnp.abs(rely_k - dyf)) * mskh_k
+            if stride == 1:
+                py, by = 0, dy
+            else:
+                py = jax.lax.rem(dy, stride)
+                by = jax.lax.div(dy, stride)
+
+            def col_shift(dx, _):
+                hx = jnp.maximum(
+                    0.0,
+                    1.0 - jnp.abs(relx_k - (d_lo + dx).astype(jnp.float32)),
+                )
+                sl = band_sh[dx, py, pl.ds(by, br), :, :]
+                acc[0] += (hym * hx) * sl.reshape(br * wp, c).astype(
+                    jnp.float32
+                )
+                return 0
+
+            jax.lax.fori_loop(dx0, dx1 + 1, col_shift, 0)
+            return 0
+
+        jax.lax.fori_loop(dy0, dy1 + 1, row_shift, 0)
+        out += jnp.dot(
+            acc[0].astype(w_ref.dtype), w_ref[kk],
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )
+
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("stride", "radius", "block_rows", "interpret"),
+    static_argnames=("stride", "radius", "block_rows", "interpret", "version"),
 )
 def modulated_deform_conv_pallas(
     x: jnp.ndarray,
@@ -151,8 +264,9 @@ def modulated_deform_conv_pallas(
     bias: Optional[jnp.ndarray] = None,
     stride: int = 1,
     radius: int = 2,
-    block_rows: int = 4,
+    block_rows: int = 8,
     interpret: bool = False,
+    version: int = 2,
 ) -> jnp.ndarray:
     """Drop-in equivalent of modulated_deform_conv_window (3x3, pad 1).
 
@@ -243,11 +357,29 @@ def modulated_deform_conv_pallas(
         else jnp.zeros((1, cout), x.dtype)
     )
 
-    kernel = functools.partial(
-        _kernel,
-        br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
-        band_rows=band_rows,
-    )
+    if version == 2:
+        kernel = functools.partial(
+            _kernel_v2,
+            br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
+            band_rows=band_rows, nblk=nblk,
+        )
+        scratch = [
+            pltpu.VMEM((2, s, s, band_rows, wp2, c), x.dtype),
+            pltpu.VMEM((dsz, s, band_rows, wp, c), x.dtype),
+            pltpu.VMEM((1, br * wp, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
+            _kernel,
+            br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
+            band_rows=band_rows,
+        )
+        scratch = [
+            pltpu.VMEM((s, s, band_rows, wp2, c), x.dtype),
+            pltpu.VMEM((1, br * wp, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
 
     out = pl.pallas_call(
         kernel,
@@ -274,11 +406,7 @@ def modulated_deform_conv_pallas(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, ho_pad * wp, cout), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((s, s, band_rows, wp2, c), x.dtype),
-            pltpu.VMEM((1, br * wp, c), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -298,13 +298,15 @@ def test_pallas_deform_conv_matches_window(rng):
         ref = modulated_deform_conv_window(
             x, offset, mask, w, bias, stride=stride, radius=2
         )
-        got = modulated_deform_conv_pallas(
-            x, offset, mask, w, bias, stride=stride, radius=2, interpret=True
-        )
-        assert got.shape == ref.shape
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(ref), atol=1e-4
-        )
+        for version in (1, 2):
+            got = modulated_deform_conv_pallas(
+                x, offset, mask, w, bias, stride=stride, radius=2,
+                interpret=True, version=version,
+            )
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-4
+            )
 
 
 def test_pallas_gather_deform_conv_matches_window(rng):
