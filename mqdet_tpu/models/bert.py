@@ -69,13 +69,21 @@ class MaskedCrossAttention(nn.Module):
         v = v.reshape(b, vlen, h, self.dim_head).transpose(0, 2, 1, 3)
 
         q = q * (self.dim_head**-0.5)
-        sim = jnp.einsum("bhtd,bhvd->bhtv", q, k, preferred_element_type=jnp.float32)
+        # scores stay in the compute dtype: an f32 materialization of the
+        # (B, H, T, V) tensor is what made PreSelect (T=200 queries x ~6k
+        # image tokens at LVIS eval shapes) ~70x slower than this form. The
+        # softmax still reduces in f32 (exp below).
+        sim = jnp.einsum("bhtd,bhvd->bhtv", q, k)
 
         if attention_mask is not None:
             mask_tv = attention_mask.transpose(0, 2, 1)  # (B, T, V)
-            sim = sim + jnp.where(mask_tv[:, None] == 0, MASK_FILL, 0.0)
+            sim = sim + jnp.where(
+                mask_tv[:, None] == 0, MASK_FILL, 0.0
+            ).astype(sim.dtype)
 
-        attn = jax.nn.softmax(sim, axis=-1)
+        m = jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        e = jnp.exp((sim - m).astype(jnp.float32))
+        attn = e / e.sum(axis=-1, keepdims=True)
         if attention_mask is not None:
             # hard-zero masked probs so no-query tokens output exactly 0
             attn = attn * (mask_tv[:, None] != 0)

@@ -43,6 +43,38 @@ class BiMultiHeadAttention(nn.Module):
         vv = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(v)
         vl = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(l)
 
+        # Fused flash kernel (ops/pallas/bi_attention_pallas.py): both
+        # attention directions in one pass over N, scores never reach HBM.
+        # Eval path only — the XLA composite below keeps dropout for train —
+        # and N must be large enough to amortize the kernel's tiling.
+        import os
+
+        impl = os.environ.get("MQDET_FUSION_IMPL", "pallas")
+        use_flash = (
+            impl == "pallas"
+            and deterministic
+            and jax.default_backend() != "cpu"
+            and n >= 2048
+            and d % 128 == 0
+            and t % 128 == 0
+        )
+        if use_flash:
+            from mqdet_tpu.ops.pallas.bi_attention_pallas import (
+                flash_bi_attention,
+            )
+
+            bias = None
+            if attention_mask_l is not None:
+                bias = jnp.where(
+                    attention_mask_l == 0, -9e15, 0.0
+                ).astype(jnp.float32)
+            out_v, out_l = flash_bi_attention(
+                q, k, vv, vl, bias, num_heads=h
+            )
+            out_v = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
+            out_l = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)
+            return out_v, out_l
+
         # Heads stay in place — (B, S, H, D) einsums let dot_general fold the
         # head split into the contraction instead of materializing four
         # (B, H, N, D) relayouts (~0.4 GB each at LVIS eval shapes).

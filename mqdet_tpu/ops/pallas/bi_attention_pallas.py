@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: fused bidirectional cross-attention (X-MHA).
+
+The GLIP deep-fusion stage (BiMultiHeadAttention, reference
+maskrcnn_benchmark/utils/fuse_helper.py:171-427) computes, per head,
+
+    s      = q_v . k_l^T                  (N vision tokens x T text tokens)
+    out_v  = softmax_T(s + bias_l) @ vl   (vision attends to text)
+    out_l  = softmax_N(s^T) @ vv          (text attends to vision)
+
+At LVIS eval shapes (N ~= 22400, T = 256, 8 heads of 256, chunk batch 4)
+the XLA composite materializes two ~0.4 GB score tensors per stage and runs
+six stages per forward — the hottest block of the whole protocol after the
+deformable convs. This kernel runs both directions in one pass over N:
+
+  * grid (B, N/block_n); q/vv stream in block_n-row tiles, k/vl/bias stay
+    VMEM-resident for a whole batch row (they are tiny: T x E);
+  * the v-side softmax is complete within a tile (T is the minor axis);
+  * the l-side softmax runs as an online (flash) reduction over the N axis:
+    running max / rescaled accumulator / denominator live in VMEM scratch
+    across grid steps, and out_l is emitted on the last N tile.
+
+Scores never touch HBM: traffic is one read of q/vv, one write of out_v
+(+ T-sized side inputs), ~5x less than the composite. Both score matmuls
+accumulate f32 on the MXU; probabilities are cast to bf16 before the value
+matmuls, matching the composite's numerics (models/fusion.py).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(
+    q_ref,      # (1, BN, E)  pre-scaled v-side queries
+    k_ref,      # (1, T, E)
+    vv_ref,     # (1, BN, E)
+    vl_ref,     # (1, T, E)
+    bias_ref,   # (1, 1, T) f32  additive bias for the v-side softmax
+    outv_ref,   # (1, BN, E)
+    outl_ref,   # (1, T, E)
+    acc,        # scratch VMEM (H, T, D) f32    l-side accumulator
+    den,        # scratch VMEM (H, T) f32       l-side denominator
+    mrun,       # scratch VMEM (H, T) f32       l-side running max
+    *,
+    heads: int,
+    d: int,
+    block_n: int,
+    n_valid: int,
+):
+    n_i = pl.program_id(1)
+    n_last = pl.num_programs(1) - 1
+
+    @pl.when(n_i == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+        den[...] = jnp.zeros_like(den)
+        mrun[...] = jnp.full_like(mrun, NEG)
+
+    # validity of this tile's N rows (zero-padded tail)
+    col0 = n_i * block_n
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
+    col_ok = col_ids < n_valid  # (1, BN)
+
+    bias = bias_ref[0]  # (1, T) f32
+
+    for h in range(heads):
+        sl_h = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl_h]    # (BN, D)
+        kh = k_ref[0, :, sl_h]    # (T, D)
+        vvh = vv_ref[0, :, sl_h]  # (BN, D)
+        vlh = vl_ref[0, :, sl_h]  # (T, D)
+
+        # ---- v side: rows complete within the tile --------------------
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BN, T)
+        sb = s + bias
+        mv = jnp.max(sb, axis=-1, keepdims=True)
+        p = jnp.exp(sb - mv)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outv_ref[0, :, sl_h] = jax.lax.dot_general(
+            p.astype(vlh.dtype), vlh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(outv_ref.dtype)
+
+        # ---- l side: online softmax over the N axis -------------------
+        s_l = jax.lax.dot_general(
+            kh, qh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, BN)
+        s_l = jnp.where(col_ok, s_l, NEG)
+        m_old = mrun[h]                       # (T,)
+        m_new = jnp.maximum(m_old, jnp.max(s_l, axis=-1))
+        alpha = jnp.exp(m_old - m_new)        # (T,)
+        e = jnp.exp(s_l - m_new[:, None])
+        e = jnp.where(col_ok, e, 0.0)
+        acc[h] = acc[h] * alpha[:, None] + jax.lax.dot_general(
+            e.astype(vvh.dtype), vvh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        den[h] = den[h] * alpha + jnp.sum(e, axis=-1)
+        mrun[h] = m_new
+
+        @pl.when(n_i == n_last)
+        def _():
+            outl_ref[0, :, sl_h] = (
+                acc[h] / den[h][:, None]
+            ).astype(outl_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_n", "interpret")
+)
+def flash_bi_attention(
+    q: jnp.ndarray,        # (B, N, E) pre-scaled
+    k: jnp.ndarray,        # (B, T, E)
+    vv: jnp.ndarray,       # (B, N, E)
+    vl: jnp.ndarray,       # (B, T, E)
+    bias_l: Optional[jnp.ndarray],  # (B, T) f32 additive, or None
+    num_heads: int,
+    block_n: int = 3200,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (out_v (B, N, E), out_l (B, T, E))."""
+    b, n, e = q.shape
+    t = k.shape[1]
+    d = e // num_heads
+
+    n_pad = -(-n // block_n) * block_n
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+        vv = jnp.pad(vv, ((0, 0), (0, n_pad - n), (0, 0)))
+    if bias_l is None:
+        bias_l = jnp.zeros((b, t), jnp.float32)
+    bias_l = bias_l.astype(jnp.float32).reshape(b, 1, t)
+
+    kernel = functools.partial(
+        _kernel, heads=num_heads, d=d, block_n=block_n, n_valid=n
+    )
+    out_v, out_l = pl.pallas_call(
+        kernel,
+        grid=(b, n_pad // block_n),
+        in_specs=[
+            pl.BlockSpec((1, block_n, e), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, t, e), lambda bi, ni: (bi, 0, 0)),
+            pl.BlockSpec((1, block_n, e), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, t, e), lambda bi, ni: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bi, ni: (bi, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n, e), lambda bi, ni: (bi, ni, 0)),
+            pl.BlockSpec((1, t, e), lambda bi, ni: (bi, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, e), q.dtype),
+            jax.ShapeDtypeStruct((b, t, e), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, t, d), jnp.float32),
+            pltpu.VMEM((num_heads, t), jnp.float32),
+            pltpu.VMEM((num_heads, t), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, k, vv, vl, bias_l)
+
+    return out_v[:, :n], out_l

@@ -334,3 +334,41 @@ def test_pallas_gather_deform_conv_matches_window(rng):
             interpret=True,
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_flash_bi_attention_matches_composite(rng):
+    """Interpret-mode flash bi-attention kernel vs the plain two-softmax
+    formulation (models/fusion.py BiMultiHeadAttention semantics)."""
+    import jax
+
+    from mqdet_tpu.ops.pallas.bi_attention_pallas import flash_bi_attention
+
+    b, n, t, e, h = 2, 700, 128, 256, 2
+    d = e // h
+    q = jnp.asarray((rng.standard_normal((b, n, e)) * 0.1).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32))
+    vv = jnp.asarray(rng.standard_normal((b, n, e)).astype(np.float32))
+    vl = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32))
+    mask = (rng.uniform(0, 1, (b, t)) > 0.25).astype(np.float32)
+    bias = jnp.asarray(np.where(mask == 0, -9e15, 0.0).astype(np.float32))
+
+    qh = q.reshape(b, n, h, d)
+    kh = k.reshape(b, t, h, d)
+    vvh = vv.reshape(b, n, h, d)
+    vlh = vl.reshape(b, t, h, d)
+    attn_v = jnp.einsum("bnhd,bthd->bhnt", qh, kh) + bias[:, None, None, :]
+    ov_ref = jnp.einsum(
+        "bhnt,bthd->bnhd", jax.nn.softmax(attn_v, -1), vlh
+    ).reshape(b, n, e)
+    attn_l = jnp.einsum("bthd,bnhd->bhtn", kh, qh)
+    ol_ref = jnp.einsum(
+        "bhtn,bnhd->bthd", jax.nn.softmax(attn_l, -1), vvh
+    ).reshape(b, t, e)
+
+    # block_n=256 forces multiple N tiles (online l-softmax) plus a padded
+    # tail tile (700 = 2*256 + 188)
+    ov, ol = flash_bi_attention(
+        q, k, vv, vl, bias, num_heads=h, block_n=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(ov), np.asarray(ov_ref), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(ol), np.asarray(ol_ref), atol=2e-3)
