@@ -193,3 +193,208 @@ class VLFuse(nn.Module):
             dtype=self.dtype, name="b_attn",
         )(flat, lang_hidden, lang_masks, deterministic)
         return unflatten_levels(new_v, sizes), new_l
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """fuse_helper.py MultiHeadAttention (:430-552): plain q->kv cross
+    attention with separate q/k dims, scaled queries, text-mask bias."""
+
+    q_dim: int
+    k_dim: int
+    embed_dim: int = 2048
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, attention_mask=None):
+        h = self.num_heads
+        d = self.embed_dim // h
+        b, n, _ = q_in.shape
+        t = k_in.shape[1]
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(q_in)
+        q = q * (d**-0.5)
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(k_in)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(v_in)
+        q = q.reshape(b, n, h, d)
+        k = k.reshape(b, t, h, d)
+        v = v.reshape(b, t, h, d)
+        s = jnp.einsum("bnhd,bthd->bhnt", q, k)
+        if attention_mask is not None:
+            s = s + jnp.where(
+                attention_mask[:, None, None, :] == 0, -9e15, 0.0
+            ).astype(s.dtype)
+        m = jax.lax.stop_gradient(s.max(axis=-1, keepdims=True))
+        e = jnp.exp((s - m).astype(jnp.float32))
+        p = (e / e.sum(axis=-1, keepdims=True)).astype(v.dtype)
+        out = jnp.einsum(
+            "bhnt,bthd->bnhd", p, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        return nn.Dense(self.q_dim, dtype=self.dtype, name="out_proj")(
+            out.reshape(b, n, self.embed_dim)
+        )
+
+
+class T2IFuse(nn.Module):
+    """FUSE_CONFIG.TYPE == "MHA-S": single-direction text->image fusion
+    (AttentionT2I, fuse_helper.py:559-640; wiring vldyhead.py:381-396,
+    471-494). The reference applies one shared AttentionT2I per level with
+    identical parameters and pre-LN per token, so flattening the five levels
+    into one sequence is exactly equivalent. Language stream is unchanged.
+    The residual adds to the NORMED queries (fuse_helper.py:625-629), same
+    convention as BiAttentionBlock."""
+
+    num_convs: int = 6
+    v_dim: int = 256
+    l_dim: int = 768
+    embed_dim: int = 2048
+    num_heads: int = 8
+    use_layer_scale: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visual, lang_hidden, lang_masks, deterministic=True):
+        flat, sizes = flatten_levels(visual)
+        q = nn.LayerNorm(dtype=self.dtype, name="layer_norm_q_1")(flat)
+        kv = nn.LayerNorm(dtype=self.dtype, name="layer_norm_k_1")(lang_hidden)
+        delta = MultiHeadCrossAttention(
+            q_dim=self.v_dim, k_dim=self.l_dim, embed_dim=self.embed_dim,
+            num_heads=self.num_heads, dtype=self.dtype, name="attn",
+        )(q, kv, kv, lang_masks)
+        if self.use_layer_scale:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(1.0 / self.num_convs),
+                (self.v_dim,),
+            )
+            q = q + gamma.astype(delta.dtype) * delta
+        else:
+            q = q + delta
+        return unflatten_levels(q, sizes), lang_hidden
+
+
+def make_coord_channels(b, h, w, dtype):
+    """fuse_helper.py:_make_coord (:87-103): 8 relative-position channels
+    (x_min, y_min, x_max, y_max, x_ctr, y_ctr, 1/h, 1/w), NHWC."""
+    xv, yv = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    xv = xv.astype(jnp.float32)
+    yv = yv.astype(jnp.float32)
+    xv_min = (xv * 2 - w) / w
+    yv_min = (yv * 2 - h) / h
+    xv_max = ((xv + 1) * 2 - w) / w
+    yv_max = ((yv + 1) * 2 - h) / h
+    coord = jnp.stack(
+        [
+            xv_min, yv_min, xv_max, yv_max,
+            (xv_min + xv_max) / 2, (yv_min + yv_max) / 2,
+            jnp.full((h, w), 1.0 / h), jnp.full((h, w), 1.0 / w),
+        ],
+        axis=-1,
+    ).astype(dtype)
+    return jnp.broadcast_to(coord[None], (b, h, w, 8))
+
+
+class LangMappingMLP(nn.Module):
+    """fuse_helper.py:_make_mlp (:77-85): Linear-BN-ReLU-Dropout-Linear-BN-
+    ReLU on the pooled language aggregate."""
+
+    out_dim: int
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, dtype=self.dtype, name="bn1"
+        )(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.BatchNorm(
+            use_running_average=deterministic, dtype=self.dtype, name="bn2"
+        )(x)
+        return nn.relu(x)
+
+
+class SCANFuse(nn.Module):
+    """FUSE_CONFIG.TYPE == "SCAN": t2i fusion via func_attention
+    (vldyhead.py:415-422, 526-537; fuse_helper.py:122-168).
+
+    Fidelity note: the reference path as written cannot run — it feeds the
+    2-D pooled `aggregate` (bert_model.py:57) into the bmm-based
+    func_attention, which requires a 3-D context, and its 1x1 joint_fusion
+    convs are sized for coord_dim+emb inputs (vldyhead.py:447) that SCAN
+    never concatenates. This twin keeps the intended semantics: the mapped
+    aggregate acts as a single-token context (func_attention with L=1
+    reduces to broadcasting that token), then per-level 1x1 conv+BN+ReLU."""
+
+    v_dim: int = 256
+    emb_dim: int = 256
+    out_dim: int = 256
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visual, lang_aggregate, deterministic=True):
+        ctx = LangMappingMLP(
+            out_dim=self.emb_dim, dropout=self.dropout, dtype=self.dtype,
+            name="mapping_lang",
+        )(lang_aggregate, deterministic)  # (B, emb)
+        outs = []
+        for i, f in enumerate(visual):
+            b, h, w, _ = f.shape
+            attn_feat = jnp.broadcast_to(
+                ctx[:, None, None, :], (b, h, w, self.emb_dim)
+            ).astype(self.dtype)
+            y = nn.Conv(
+                self.out_dim, (1, 1), dtype=self.dtype, name=f"joint_fusion_{i}"
+            )(attn_feat)
+            y = nn.BatchNorm(
+                use_running_average=deterministic, dtype=self.dtype,
+                name=f"joint_bn_{i}",
+            )(y)
+            outs.append(nn.relu(y))
+        return outs
+
+
+class FILMFuse(nn.Module):
+    """FUSE_CONFIG.TYPE == "FILM": feature-wise linear modulation
+    (vldyhead.py:423-431, 538-562): per-level tanh(gamma/beta) from the
+    mapped language aggregate, applied to [feat, coord] channels, then 1x1
+    conv+BN+ReLU down to out_dim."""
+
+    v_dim: int = 256
+    emb_dim: int = 256
+    out_dim: int = 256
+    coord_dim: int = 8
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visual, lang_aggregate, deterministic=True):
+        ctx = LangMappingMLP(
+            out_dim=self.emb_dim, dropout=self.dropout, dtype=self.dtype,
+            name="mapping_lang",
+        )(lang_aggregate, deterministic)
+        inp_dim = self.v_dim + self.coord_dim
+        outs = []
+        for i, f in enumerate(visual):
+            b, h, w, _ = f.shape
+            coord = make_coord_channels(b, h, w, self.dtype)
+            feat = jnp.concatenate([f, coord], axis=-1)
+            g = jnp.tanh(
+                nn.Dense(inp_dim, dtype=self.dtype, name=f"gamma_{i}")(ctx)
+            )
+            bt = jnp.tanh(
+                nn.Dense(inp_dim, dtype=self.dtype, name=f"beta_{i}")(ctx)
+            )
+            feat = nn.relu(g[:, None, None, :] * feat + bt[:, None, None, :])
+            y = nn.Conv(
+                self.out_dim, (1, 1), dtype=self.dtype, name=f"joint_fusion_{i}"
+            )(feat)
+            y = nn.BatchNorm(
+                use_running_average=deterministic, dtype=self.dtype,
+                name=f"joint_bn_{i}",
+            )(y)
+            outs.append(nn.relu(y))
+        return outs

@@ -70,6 +70,8 @@ class MQGLIP(nn.Module):
     vision_scale: float = 1.0
     query_fusion: bool = False
     add_linear_layer: bool = False
+    fuse_type: str = "MHA-B"
+    fuse_layer_scale: bool = True
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -95,6 +97,8 @@ class MQGLIP(nn.Module):
             vision_scale=cfg.VISION_QUERY.VISION_SCALE,
             query_fusion=cfg.VISION_QUERY.QUERY_FUSION,
             add_linear_layer=cfg.MODEL.DYHEAD.FUSE_CONFIG.ADD_LINEAR_LAYER,
+            fuse_type=cfg.MODEL.DYHEAD.FUSE_CONFIG.TYPE,
+            fuse_layer_scale=cfg.MODEL.DYHEAD.FUSE_CONFIG.USE_LAYER_SCALE,
             dtype=dt,
         )
 
@@ -125,6 +129,8 @@ class MQGLIP(nn.Module):
         self.rpn = VLDyHead(
             query_fusion=self.query_fusion,
             add_linear_layer=self.add_linear_layer,
+            fuse_type=self.fuse_type,
+            fuse_layer_scale=self.fuse_layer_scale,
             num_convs=self.num_convs,
             channels=self.out_channels,
             in_channels=self.out_channels,
@@ -183,6 +189,7 @@ class MQGLIP(nn.Module):
             embedding=lang["embedded"],
             augmented_vision=lang.get("augmented_vision") if self.query_fusion else None,
             query_mask=query_mask if self.query_fusion else None,
+            lang_aggregate=lang.get("aggregate"),
             deterministic=deterministic,
         )
         head_out["lang"] = lang

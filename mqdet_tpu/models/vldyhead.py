@@ -26,7 +26,7 @@ import numpy as np
 from flax import linen as nn
 
 from mqdet_tpu.models.bert import BertLayer, GatedCrossAttentionBlock
-from mqdet_tpu.models.fusion import VLFuse
+from mqdet_tpu.models.fusion import FILMFuse, SCANFuse, T2IFuse, VLFuse
 from mqdet_tpu.models.layers import (
     DYReLU,
     Scale,
@@ -221,6 +221,10 @@ class VLDyHead(nn.Module):
     use_dyfuse: bool = True
     use_dyrelu: bool = True
     early_fuse: bool = True
+    # FUSE_CONFIG.TYPE (vldyhead.py:381-431): MHA-B (bidirectional, the
+    # GLIP/MQ-Det setting), MHA-S (text->image only), SCAN, FILM
+    fuse_type: str = "MHA-B"
+    fuse_layer_scale: bool = True
     use_fused_dot_product: bool = True
     query_fusion: bool = False
     add_linear_layer: bool = False
@@ -236,6 +240,7 @@ class VLDyHead(nn.Module):
         embedding: Optional[jnp.ndarray] = None,
         augmented_vision: Optional[jnp.ndarray] = None,
         query_mask: Optional[jnp.ndarray] = None,
+        lang_aggregate: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> Dict[str, Any]:
         attn_bias = (1.0 - lang_masks[:, None, None, :].astype(jnp.float32)) * -10000.0
@@ -264,15 +269,39 @@ class VLDyHead(nn.Module):
         visual = feats
         for i in range(self.num_convs):
             if self.early_fuse:
-                visual, lang_hidden = VLFuse(
-                    num_convs=self.num_convs, v_dim=self.channels,
-                    l_dim=self.lang_dim, dtype=self.dtype, name=f"fuse_{i}",
-                )(visual, lang_hidden, lang_masks, deterministic)
-                lang_hidden = BertLayer(
-                    hidden_size=self.lang_dim, num_heads=self.lang_heads,
-                    intermediate_size=self.lang_intermediate, dtype=self.dtype,
-                    name=f"lang_layer_{i}",
-                )(lang_hidden, attn_bias, deterministic)
+                if self.fuse_type == "MHA-B":
+                    visual, lang_hidden = VLFuse(
+                        num_convs=self.num_convs, v_dim=self.channels,
+                        l_dim=self.lang_dim, dtype=self.dtype, name=f"fuse_{i}",
+                    )(visual, lang_hidden, lang_masks, deterministic)
+                elif self.fuse_type == "MHA-S":
+                    visual, lang_hidden = T2IFuse(
+                        num_convs=self.num_convs, v_dim=self.channels,
+                        l_dim=self.lang_dim,
+                        use_layer_scale=self.fuse_layer_scale,
+                        dtype=self.dtype, name=f"fuse_{i}",
+                    )(visual, lang_hidden, lang_masks, deterministic)
+                elif self.fuse_type == "SCAN":
+                    assert lang_aggregate is not None
+                    visual = SCANFuse(
+                        v_dim=self.channels, dtype=self.dtype, name=f"fuse_{i}",
+                    )(visual, lang_aggregate, deterministic)
+                elif self.fuse_type == "FILM":
+                    assert lang_aggregate is not None
+                    visual = FILMFuse(
+                        v_dim=self.channels, dtype=self.dtype, name=f"fuse_{i}",
+                    )(visual, lang_aggregate, deterministic)
+                else:
+                    raise NotImplementedError(self.fuse_type)
+                # language self path (all fuse types, vldyhead.py:642-663):
+                # the last stage's text layer only exists when the
+                # dot-product head consumes the fused text
+                if i < self.num_convs - 1 or self.use_fused_dot_product:
+                    lang_hidden = BertLayer(
+                        hidden_size=self.lang_dim, num_heads=self.lang_heads,
+                        intermediate_size=self.lang_intermediate,
+                        dtype=self.dtype, name=f"lang_layer_{i}",
+                    )(lang_hidden, attn_bias, deterministic)
             visual = DyConv(
                 channels=self.channels,
                 use_deform=self.use_deform,

@@ -307,10 +307,16 @@ def modulated_deform_conv_pallas(
     relx = rel[..., 1]
 
     # per-(block, tap) inclusive integer shift bounds: hat(rel - d) != 0 only
-    # for d in {floor(rel), floor(rel)+1}.
+    # for d in {floor(rel)} ∪ {floor(rel)+1 if rel is fractional}. The
+    # integer-rel case matters: offsets clipped at ±radius land exactly on
+    # integers, so at saturation (large offsets, e.g. random-init params)
+    # the tight form trims one dead shift per axis — ~25% of the loop.
     relb = rel.reshape(b, nblk, br * wp, k, 2)
-    lo = jnp.floor(jnp.min(relb, axis=2)).astype(jnp.int32) - d_lo
-    hi = jnp.floor(jnp.max(relb, axis=2)).astype(jnp.int32) + 1 - d_lo
+    flo = jnp.floor(relb)
+    lo = jnp.min(flo, axis=2).astype(jnp.int32) - d_lo
+    hi = (
+        jnp.max(flo + (relb != flo), axis=2).astype(jnp.int32) - d_lo
+    )
     lo = jnp.clip(lo, 0, dsz - 1)
     hi = jnp.clip(hi, 0, dsz - 1)
     bounds = jnp.stack(

@@ -146,7 +146,12 @@ def init_params_fast(model, *args, seed: int = 0, scale: float = 0.02):
 
     def fill(path, s):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
-        if name.endswith("scale") or name.endswith("/gamma_v") or name.endswith("/gamma_l"):
+        if (
+            name.endswith("scale")
+            or name.endswith("/gamma_v")
+            or name.endswith("/gamma_l")
+            or name.endswith("var")  # batch_stats variance must be positive
+        ):
             return jnp.ones(s.shape, s.dtype)
         if name.endswith("bias") or name.endswith("mean"):
             return jnp.zeros(s.shape, s.dtype)

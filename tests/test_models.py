@@ -179,3 +179,38 @@ def test_swin_v2_variant(rng):
     outs = m.apply(params, x)
     assert outs[0].shape == (1, 8, 8, 16) and outs[1].shape == (1, 4, 4, 32)
     assert not np.isnan(np.asarray(outs[1])).any()
+
+
+def test_vldyhead_fuse_type_variants(rng):
+    """FUSE_CONFIG.TYPE dispatch (reference vldyhead.py:381-431): every
+    variant produces the standard per-level head outputs."""
+    import jax
+    from mqdet_tpu.models.vldyhead import VLDyHead
+
+    levels = [(16, 16), (8, 8), (4, 4)]
+    feats = [
+        jnp.asarray(rng.standard_normal((2, h, w, 32)).astype(np.float32))
+        for h, w in levels
+    ]
+    lang = jnp.asarray(rng.standard_normal((2, 24, 48)).astype(np.float32))
+    masks = jnp.ones((2, 24), jnp.int32)
+    agg = jnp.asarray(rng.standard_normal((2, 48)).astype(np.float32))
+
+    for fuse_type in ("MHA-B", "MHA-S", "SCAN", "FILM"):
+        head = VLDyHead(
+            num_convs=2, channels=32, in_channels=32, lang_dim=48,
+            lang_heads=4, lang_intermediate=96, num_classes=5,
+            use_deform=False, use_dyfuse=False, use_dyrelu=False,
+            fuse_type=fuse_type, gn_groups=4,
+        )
+        params = head.init(
+            jax.random.PRNGKey(0), feats, lang, masks, lang_aggregate=agg
+        )
+        out = head.apply(params, feats, lang, masks, lang_aggregate=agg)
+        assert len(out["dot_product_logits"]) == 3
+        for (h, w), dp, bb in zip(
+            levels, out["dot_product_logits"], out["bbox_reg"]
+        ):
+            assert dp.shape == (2, h * w, 24)
+            assert bb.shape == (2, h, w, 4)
+            assert np.isfinite(np.asarray(dp)).all()
