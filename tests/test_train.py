@@ -158,3 +158,21 @@ def test_train_step_updates_only_trainable():
         for k in state.trainable
     )
     assert changed
+
+
+def test_profiling_helpers(tmp_path):
+    """StepTimer statistics + trace/annotate degrade gracefully."""
+    import jax.numpy as jnp
+
+    from mqdet_tpu.utils.profiling import StepTimer, annotate, trace
+
+    timer = StepTimer(warmup=1)
+    x = jnp.ones((4,))
+    for _ in range(4):
+        timer.tick(x * 2)
+    s = timer.summary()
+    assert s["steps"] == 2 and s["mean_s"] > 0 and s["rate"] > 0
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("region"):
+            (x + 1).block_until_ready()

@@ -30,6 +30,10 @@ def main():
     p.add_argument("--additional-model-config", default=None)
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--lvis", action="store_true", help="use LVIS fixed-AP protocol")
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler trace of the eval loop into this dir",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
@@ -105,10 +109,16 @@ def main():
         style=style,
         max_dets=cfg.MODEL.ATSS.DETECTIONS_PER_IMG,
     )
-    results = run_inference(
-        cfg, model, params, dataset, tokenizer, selector,
-        evaluator=evaluator, max_images=args.max_images,
-    )
+    import contextlib
+
+    from mqdet_tpu.utils.profiling import trace
+
+    prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    with prof:
+        results = run_inference(
+            cfg, model, params, dataset, tokenizer, selector,
+            evaluator=evaluator, max_images=args.max_images,
+        )
     print({k: v for k, v in results.items() if not isinstance(v, dict)})
 
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--additional-model-config", default=None)
     p.add_argument("--extract-query", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler trace of the train loop into this dir",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args()
 
@@ -236,10 +240,16 @@ def main():
         state, start_iter = checkpointer.restore(state)
         print(f"resumed from iteration {start_iter}")
 
-    state, best = do_train(
-        cfg, train_step, state, loader, mesh=mesh,
-        checkpointer=checkpointer, start_iter=start_iter,
-    )
+    import contextlib
+
+    from mqdet_tpu.utils.profiling import trace
+
+    prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
+    with prof:
+        state, best = do_train(
+            cfg, train_step, state, loader, mesh=mesh,
+            checkpointer=checkpointer, start_iter=start_iter,
+        )
     print(f"training done; best eval result: {best}")
 
 
