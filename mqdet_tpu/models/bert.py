@@ -281,6 +281,9 @@ class QVBertModel(nn.Module):
     vision_scale: float = 1.0
     condition_gate: bool = True
     nonlinear_gate: bool = True
+    # activation recomputation for the 12 text layers (reference BERT
+    # gradient checkpointing, modeling_bert_new.py:577-598); TPU.REMAT
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -331,7 +334,12 @@ class QVBertModel(nn.Module):
                     nonlinear_gate=self.nonlinear_gate, dtype=self.dtype,
                     name=f"qv_layer_{i - self.start_qv_layer}",
                 )(x, vision, query_mask)
-            x = BertLayer(
+            layer_cls = (
+                nn.remat(BertLayer, static_argnums=(3,))
+                if self.remat
+                else BertLayer
+            )
+            x = layer_cls(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 intermediate_size=self.intermediate_size, dtype=self.dtype,
                 name=f"layer_{i}",
@@ -376,6 +384,7 @@ class LanguageBackbone(nn.Module):
     start_qv_layer: int = 6
     vision_dim: int = 256
     vision_scale: float = 1.0
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -395,7 +404,7 @@ class LanguageBackbone(nn.Module):
             num_heads=self.num_heads, intermediate_size=self.intermediate_size,
             vocab_size=self.vocab_size, start_qv_layer=self.start_qv_layer,
             vision_dim=self.vision_dim, vision_scale=self.vision_scale,
-            dtype=self.dtype, name="bert",
+            remat=self.remat, dtype=self.dtype, name="bert",
         )(input_ids, attention_mask, queries, query_mask, image_tokens,
           attention_matrix, position_ids, deterministic)
 

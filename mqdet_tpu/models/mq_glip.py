@@ -72,6 +72,7 @@ class MQGLIP(nn.Module):
     add_linear_layer: bool = False
     fuse_type: str = "MHA-B"
     fuse_layer_scale: bool = True
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -99,6 +100,7 @@ class MQGLIP(nn.Module):
             add_linear_layer=cfg.MODEL.DYHEAD.FUSE_CONFIG.ADD_LINEAR_LAYER,
             fuse_type=cfg.MODEL.DYHEAD.FUSE_CONFIG.TYPE,
             fuse_layer_scale=cfg.MODEL.DYHEAD.FUSE_CONFIG.USE_LAYER_SCALE,
+            remat=cfg.TPU.REMAT,
             dtype=dt,
         )
 
@@ -123,6 +125,7 @@ class MQGLIP(nn.Module):
             start_qv_layer=self.start_qv_layer,
             vision_dim=self.out_channels,
             vision_scale=self.vision_scale,
+            remat=self.remat,
             dtype=self.dtype,
             name="language_backbone",
         )
@@ -131,6 +134,7 @@ class MQGLIP(nn.Module):
             add_linear_layer=self.add_linear_layer,
             fuse_type=self.fuse_type,
             fuse_layer_scale=self.fuse_layer_scale,
+            remat=self.remat,
             num_convs=self.num_convs,
             channels=self.out_channels,
             in_channels=self.out_channels,

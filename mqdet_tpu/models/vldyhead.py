@@ -225,6 +225,9 @@ class VLDyHead(nn.Module):
     # GLIP/MQ-Det setting), MHA-S (text->image only), SCAN, FILM
     fuse_type: str = "MHA-B"
     fuse_layer_scale: bool = True
+    # activation recomputation per tower stage (reference VLFuse/BertLayer
+    # gradient checkpointing, vldyhead.py:374-377,475-515); TPU.REMAT
+    remat: bool = False
     use_fused_dot_product: bool = True
     query_fusion: bool = False
     add_linear_layer: bool = False
@@ -269,8 +272,13 @@ class VLDyHead(nn.Module):
         visual = feats
         for i in range(self.num_convs):
             if self.early_fuse:
+                fuse_cls = (
+                    nn.remat(VLFuse, static_argnums=(4,))
+                    if self.remat
+                    else VLFuse
+                )
                 if self.fuse_type == "MHA-B":
-                    visual, lang_hidden = VLFuse(
+                    visual, lang_hidden = fuse_cls(
                         num_convs=self.num_convs, v_dim=self.channels,
                         l_dim=self.lang_dim, dtype=self.dtype, name=f"fuse_{i}",
                     )(visual, lang_hidden, lang_masks, deterministic)
@@ -297,12 +305,18 @@ class VLDyHead(nn.Module):
                 # the last stage's text layer only exists when the
                 # dot-product head consumes the fused text
                 if i < self.num_convs - 1 or self.use_fused_dot_product:
-                    lang_hidden = BertLayer(
+                    bert_cls = (
+                        nn.remat(BertLayer, static_argnums=(3,))
+                        if self.remat
+                        else BertLayer
+                    )
+                    lang_hidden = bert_cls(
                         hidden_size=self.lang_dim, num_heads=self.lang_heads,
                         intermediate_size=self.lang_intermediate,
                         dtype=self.dtype, name=f"lang_layer_{i}",
                     )(lang_hidden, attn_bias, deterministic)
-            visual = DyConv(
+            dyconv_cls = nn.remat(DyConv) if self.remat else DyConv
+            visual = dyconv_cls(
                 channels=self.channels,
                 use_deform=self.use_deform,
                 use_dyfuse=self.use_dyfuse,

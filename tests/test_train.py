@@ -176,3 +176,56 @@ def test_profiling_helpers(tmp_path):
     with trace(str(tmp_path / "prof")):
         with annotate("region"):
             (x + 1).block_until_ready()
+
+
+def test_remat_gradients_match():
+    """TPU.REMAT (reference gradient checkpointing, vldyhead.py:374-377,
+    modeling_bert_new.py:577-598): same forward and same gradients, less
+    live-activation memory."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.utils.builders import (
+        build_model,
+        synthetic_batch,
+        tiny_test_config,
+    )
+
+    cfg = tiny_test_config()
+    batch = synthetic_batch(
+        cfg, batch=1, image_hw=tuple(cfg.TPU.IMAGE_BUCKETS[0]),
+        num_labels=4, k_shot=2,
+    )
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("images", "input_ids", "attention_mask", "queries", "query_mask")
+    )
+
+    cfg.TPU.REMAT = False
+    m0 = build_model(cfg)
+    p0 = m0.init(jax.random.PRNGKey(0), *args)
+    cfg.TPU.REMAT = True
+    m1 = build_model(cfg)
+    p1 = m1.init(jax.random.PRNGKey(0), *args)
+    # identical param trees (remat is a lifted transform, not a structure change)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, *args, deterministic=True)
+            return sum(
+                jnp.sum(jnp.abs(x.astype(jnp.float32)))
+                for x in out["dot_product_logits"]
+            )
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(p0)
+    l1, g1 = jax.value_and_grad(loss(m1))(p1)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-3, atol=2e-5,
+        )
