@@ -110,6 +110,24 @@ def _coerce(value: Any, old: Any, key: str) -> Any:
     return value
 
 
+# Compatibility-only knobs. The tree keeps the reference's full key surface
+# so its yaml configs load unchanged, but a few keys are intentionally inert
+# here because the TPU design subsumes them:
+#   * DATALOADER.* — the host pipeline is synchronous numpy (no torch
+#     workers); SIZE_DIVISIBILITY is replaced by static TPU.IMAGE_BUCKETS.
+#   * SOLVER.USE_AMP + FUSE_CONFIG.CLAMP_* / STABLE_SOFTMAX_2D — bf16
+#     compute has no fp16 range problem; the +-50000 dot-product clamps are
+#     always on (vldyhead.py), the attention-score clamps are unnecessary.
+#   * TEST.DURING_TRAINING — duplicate of SOLVER.TEST_WITH_INFERENCE (the
+#     knob the reference trainer actually reads), which is implemented.
+#   * MODEL.DYHEAD.USE_GN — GLIP's head is always GroupNorm-normed; the
+#     reference has no non-GN head path either.
+#   * VISION_QUERY.QUERY_ADDITION_NUM, FUSE_CONFIG.USE_TOKEN_LOSS /
+#     USE_CLASSIFICATION_LOSS / USE_CONTRASTIVE_ALIGN_LOSS / SEPARATE_
+#     BIDIRECTIONAL / DO_LANG_PROJ_OUTSIDE_CHECKPOINT — dead or
+#     experiment-only in the reference (never set by any shipped config).
+#   * MODEL.SWINT.APE — absolute position embedding; False in every GLIP /
+#     MQ-Det config, so only the relative-bias path is built.
 def default_config() -> CfgNode:
     """The full default tree (knobs the TPU build implements or honors)."""
     c = CfgNode()

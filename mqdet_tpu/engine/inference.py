@@ -119,6 +119,36 @@ def run_inference(
             )
         )
 
+    # vision-conditioned masking at INFERENCE (MASK_DURING_INFERENCE,
+    # generalized_vl_rcnn_new.py:397-407): class-name tokens whose class has
+    # >=1 vision query are replaced by [MASK] with prob TEXT_DROPOUT, using
+    # the all-classes map (all_map) rather than the positives-only map.
+    if (
+        cfg.VISION_QUERY.ENABLED
+        and cfg.VISION_QUERY.MASK_DURING_INFERENCE
+        and cfg.VISION_QUERY.TEXT_DROPOUT > 0
+        and use_q
+    ):
+        assert cfg.VISION_QUERY.PURE_TEXT_RATE == 0.0, (
+            "MASK_DURING_INFERENCE requires PURE_TEXT_RATE == 0 "
+            "(generalized_vl_rcnn_new.py:399)"
+        )
+        mask_id = getattr(tokenizer, "mask_token_id", None) or 103
+        rng_m = np.random.RandomState(cfg.SOLVER.SEED)
+        for gdict in groups:
+            ids_np = np.asarray(gdict["input_ids"]).copy()
+            allm = plan.all_map[gdict["sel"]]          # (cp, L, T)
+            qm = np.asarray(gdict["query_mask"])       # (cp, V, T)
+            for i in range(ids_np.shape[0]):
+                tok_has_q = qm[i].any(axis=0)          # (T,)
+                for j in range(allm.shape[1]):
+                    span = allm[i, j] > 0
+                    if not span.any() or not tok_has_q[span].any():
+                        continue
+                    if rng_m.random_sample() < cfg.VISION_QUERY.TEXT_DROPOUT:
+                        ids_np[i, span] = mask_id
+            gdict["input_ids"] = jnp.asarray(ids_np)
+
     if evaluator is None:
         evaluator = DetectionEvaluator(style="coco")
     evaluator.register_categories(dataset.ind_to_class.keys())
@@ -178,6 +208,30 @@ def run_inference(
 
     results = evaluator.summarize()
     results["images_per_second"] = len(ids) / max(time.time() - t0, 1e-6)
+
+    # gate telemetry (RETURN_ATTN_GATE_VALUE, engine/inference.py:571-572,
+    # 626-628,710-712): mean |tanh(gate)| of every GCP block, from one
+    # representative forward with the intermediates collection enabled
+    if cfg.VISION_QUERY.RETURN_ATTN_GATE_VALUE and use_q and len(ids):
+        g0 = groups[0]
+        _, inter = model.apply(
+            params,
+            list(feats),
+            g0["input_ids"],
+            g0["attention_mask"],
+            g0["queries"],
+            g0["query_mask"],
+            method=type(model).forward_head,
+            mutable=["intermediates"],
+        )
+        import jax
+
+        gates = [
+            float(np.mean(np.asarray(v, np.float32)))
+            for path, v in jax.tree_util.tree_leaves_with_path(inter)
+        ]
+        if gates:
+            results["attn_gate_value"] = float(np.mean(gates))
     return results
 
 

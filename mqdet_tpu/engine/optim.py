@@ -84,6 +84,57 @@ def cosine_schedule(cfg) -> Callable:
     return factor
 
 
+_NORM_MARKERS = ("norm", "_ln", "ln_", "/gn", "bn1", "bn2", "layernorm")
+
+
+def wd_group_for(name: str, cfg) -> float:
+    """Per-parameter weight decay (solver/build.py:26-53): norm-layer params
+    get WEIGHT_DECAY * WEIGHT_DECAY_NORM_FACTOR."""
+    wd = cfg.SOLVER.WEIGHT_DECAY
+    low = name.lower()
+    if any(m in low for m in _NORM_MARKERS):
+        wd *= cfg.SOLVER.WEIGHT_DECAY_NORM_FACTOR
+    return wd
+
+
+def wd_schedule(cfg) -> Callable:
+    """SOLVER.WEIGHT_DECAY_SCHEDULE (engine/trainer.py:193-206): drop the
+    weight decay by GAMMA when the step passes milestone * SCHEDULE_RATIO."""
+    if not cfg.SOLVER.WEIGHT_DECAY_SCHEDULE:
+        return lambda step: 1.0
+    max_iter = max(int(cfg.SOLVER.MAX_ITER), 1)
+    milestones = sorted(
+        round(s * max_iter) if s < 1 else int(s) for s in cfg.SOLVER.STEPS
+    )
+    ratio = cfg.SOLVER.WEIGHT_DECAY_SCHEDULE_RATIO
+    gamma = cfg.SOLVER.GAMMA
+
+    def factor(step):
+        step = jnp.asarray(step, jnp.float32)
+        decays = jnp.zeros(())
+        for m in milestones:
+            decays = decays + (step >= m * ratio)
+        return gamma**decays
+
+    return factor
+
+
+def _add_scheduled_decay(wd_tree, factor):
+    """add_decayed_weights with a per-leaf decay and a step-dependent scale."""
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        f = factor(state.count)
+        updates = jax.tree.map(
+            lambda u, p, w: u + w * f * p, updates, params, wd_tree
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _scale_by_lr_tree(lr_tree, schedule):
     """u_leaf <- -base_lr_leaf * schedule(step) * u_leaf."""
 
@@ -107,11 +158,14 @@ def make_optimizer(cfg, params, trainable_patterns: List[str] = None):
     """
     if isinstance(params, dict) and all(isinstance(k, str) for k in params):
         lr_tree = {k: lr_group_for(k, cfg) for k in params}
+        wd_tree = {k: wd_group_for(k, cfg) for k in params}
     else:
         lr_tree = jax.tree_util.tree_map_with_path(
             lambda p, v: lr_group_for(path_name(p), cfg), params
         )
-    wd = cfg.SOLVER.WEIGHT_DECAY
+        wd_tree = jax.tree_util.tree_map_with_path(
+            lambda p, v: wd_group_for(path_name(p), cfg), params
+        )
     schedule = (
         cosine_schedule(cfg) if getattr(cfg.SOLVER, "USE_COSINE", False)
         else warmup_multistep_schedule(cfg)
@@ -122,20 +176,20 @@ def make_optimizer(cfg, params, trainable_patterns: List[str] = None):
         and cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "full_model"
     ) else []
 
+    # torch AdamW decays every param in the group; norm layers get the
+    # NORM_FACTOR-scaled decay, and WEIGHT_DECAY_SCHEDULE drops it by GAMMA
+    # past the (ratio-shifted) LR milestones
+    decay = _add_scheduled_decay(wd_tree, wd_schedule(cfg))
     if cfg.SOLVER.OPTIMIZER == "ADAMW":
         chain += [
             optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-            optax.add_decayed_weights(
-                wd,
-                # torch AdamW decays every param in the group; bias groups get
-                # WEIGHT_DECAY too unless configured otherwise
-            ),
+            decay,
             _scale_by_lr_tree(lr_tree, schedule),
         ]
     elif cfg.SOLVER.OPTIMIZER == "SGD":
         chain += [
             optax.trace(decay=0.9),
-            optax.add_decayed_weights(wd),
+            decay,
             _scale_by_lr_tree(lr_tree, schedule),
         ]
     else:

@@ -45,6 +45,9 @@ class MaskedCrossAttention(nn.Module):
     dim_head: int = 64
     heads: int = 8
     norm_kv: bool = True
+    # VISION_QUERY.SHARE_KV (modeling_bert_new.py MaskedCrossAttention):
+    # keys and values share one projection ("only for efficiency")
+    share_kv: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,8 +62,12 @@ class MaskedCrossAttention(nn.Module):
             vision = nn.LayerNorm(dtype=self.dtype, name="norm_kv_ln")(vision)
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(vision)
-        k, v = jnp.split(kv, 2, axis=-1)
+        if self.share_kv:
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_kv")(vision)
+            v = k
+        else:
+            kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype, name="to_kv")(vision)
+            k, v = jnp.split(kv, 2, axis=-1)
 
         b, t, _ = q.shape
         vlen = k.shape[1]
@@ -111,22 +118,48 @@ class GatedCrossAttentionBlock(nn.Module):
     ff_mult: float = 4.0
     condition_gate: bool = True
     nonlinear_gate: bool = True
+    # VISION_QUERY.NO_CAT (default True, all MQ-Det configs): gate input is
+    # the attention output alone; False is the reference's debug variant
+    # that concatenates [attn_out, x] (modeling_bert_new.py:272-277,358-361)
+    no_cat: bool = True
+    # VISION_QUERY.FIX_ATTN_GATE: -1 = learned gates; otherwise both gates
+    # are this constant and no gate params exist (modeling_bert_new.py:354-371)
+    fix_attn_gate: float = -1.0
+    # VISION_QUERY.ADD_ADAPT_LAYER: residual FeedForward adaptor on the
+    # queries before cross-attention (modeling_bert_new.py:291-292,347-348)
+    add_adapt_layer: bool = False
+    share_kv: bool = False
     enable_ffn: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, vision, attention_mask=None):
+        if self.add_adapt_layer:
+            vision = GCPFeedForward(
+                dim=vision.shape[-1], mult=2.0, dtype=self.dtype,
+                name="adaptor",
+            )(vision) + vision
+
         supported = MaskedCrossAttention(
             input_dim=self.dim, dim_head=self.dim_head, heads=self.heads,
-            norm_kv=True, dtype=self.dtype, name="attn",
+            norm_kv=True, share_kv=self.share_kv, dtype=self.dtype,
+            name="attn",
         )(x, vision, attention_mask)
 
-        if self.condition_gate:
+        fixed = self.fix_attn_gate != -1.0
+        if fixed:
+            attn_gate = jnp.asarray(self.fix_attn_gate, x.dtype)
+        elif self.condition_gate:
             if self.nonlinear_gate:
+                gate_in = (
+                    supported
+                    if self.no_cat
+                    else jnp.concatenate([supported, x], axis=-1)
+                )
                 gate_logit = GCPFeedForward(
-                    dim=self.dim, mult=0.5, out_dim=1, zero_init_out=True,
-                    dtype=self.dtype, name="attn_gate",
-                )(supported)
+                    dim=gate_in.shape[-1], mult=0.5, out_dim=1,
+                    zero_init_out=True, dtype=self.dtype, name="attn_gate",
+                )(gate_in)
             else:
                 gate_logit = nn.Dense(
                     1, use_bias=False, kernel_init=nn.initializers.zeros,
@@ -137,12 +170,23 @@ class GatedCrossAttentionBlock(nn.Module):
             g = self.param("attn_gate", nn.initializers.zeros, ())
             attn_gate = jnp.tanh(g).astype(x.dtype)
 
+        # gate telemetry (VISION_QUERY.RETURN_ATTN_GATE_VALUE,
+        # generalized_vl_rcnn_new.py:512-514): visible when callers apply
+        # with mutable=["intermediates"]; free otherwise
+        self.sow(
+            "intermediates", "attn_gate_value",
+            jnp.mean(jnp.abs(attn_gate.astype(jnp.float32))),
+        )
+
         x = supported * attn_gate + x
 
         if self.enable_ffn:
-            ff_gate = self.param("ff_gate", nn.initializers.zeros, ())
             y = GCPFeedForward(dim=self.dim, mult=self.ff_mult, dtype=self.dtype, name="ff")(x)
-            x = y * jnp.tanh(ff_gate).astype(x.dtype) + x
+            if fixed:
+                x = y * jnp.asarray(self.fix_attn_gate, x.dtype) + x
+            else:
+                ff_gate = self.param("ff_gate", nn.initializers.zeros, ())
+                x = y * jnp.tanh(ff_gate).astype(x.dtype) + x
         return x
 
 
@@ -178,13 +222,24 @@ class PreSelectModule(nn.Module):
     out_dim: int = 768
     num_layers: int = 2
     vision_scale: float = 1.0
+    # VISION_QUERY.AUGMENT_IMAGE_WITH_QUERY (modeling_bert_new.py:429-445):
+    # the first block runs with roles swapped — image tokens attend to the
+    # queries — and later blocks condition queries on the augmented image
+    augment_image_with_query: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, vision, image):
         vision = vision * self.vision_scale
         image = image * self.vision_scale
-        for i in range(self.num_layers - 1):
+        start = 0
+        if self.augment_image_with_query:
+            assert self.num_layers > 1
+            image = PreSelectBlock(
+                dim=self.dim, out_dim=self.dim, dtype=self.dtype, name="layers_0"
+            )(image, vision)
+            start = 1
+        for i in range(start, self.num_layers - 1):
             vision = PreSelectBlock(
                 dim=self.dim, out_dim=self.dim, dtype=self.dtype, name=f"layers_{i}"
             )(vision, image)
@@ -281,6 +336,15 @@ class QVBertModel(nn.Module):
     vision_scale: float = 1.0
     condition_gate: bool = True
     nonlinear_gate: bool = True
+    no_cat: bool = True
+    fix_attn_gate: float = -1.0
+    add_adapt_layer: bool = False
+    share_kv: bool = False
+    augment_image_with_query: bool = False
+    # VISION_QUERY.NEW_MASK_TOKEN (modeling_bert_new.py:454-460): replace the
+    # embeddings of [MASK]-dropped tokens with a freshly learned token
+    new_mask_token: bool = False
+    mask_token_id: int = 103
     # activation recomputation for the 12 text layers (reference BERT
     # gradient checkpointing, modeling_bert_new.py:577-598); TPU.REMAT
     remat: bool = False
@@ -303,6 +367,15 @@ class QVBertModel(nn.Module):
             dtype=self.dtype, name="embeddings",
         )(input_ids, deterministic, position_ids=position_ids)
 
+        if self.new_mask_token:
+            # replace dropped tokens' embeddings with a learned mask token
+            mt = self.param(
+                "mask_token", nn.initializers.normal(0.02),
+                (self.hidden_size,),
+            )
+            is_masked = (input_ids == self.mask_token_id)[..., None]
+            x = jnp.where(is_masked, mt.astype(x.dtype), x)
+
         if attention_matrix is not None:
             # sub-sentence block-diagonal masks (GDINO bertwarper.py:271-320)
             allowed = attention_matrix & (attention_mask[:, None, :] > 0)
@@ -316,6 +389,7 @@ class QVBertModel(nn.Module):
         augmented_vision = None
         if use_vision and image_tokens is not None:
             vision = PreSelectModule(
+                augment_image_with_query=self.augment_image_with_query,
                 dim=self.vision_dim, out_dim=self.hidden_size,
                 num_layers=self.num_pre_select_layers,
                 vision_scale=self.vision_scale, dtype=self.dtype, name="pre_select",
@@ -331,7 +405,10 @@ class QVBertModel(nn.Module):
             if use_vision and i >= self.start_qv_layer:
                 x = GatedCrossAttentionBlock(
                     dim=self.hidden_size, condition_gate=self.condition_gate,
-                    nonlinear_gate=self.nonlinear_gate, dtype=self.dtype,
+                    nonlinear_gate=self.nonlinear_gate, no_cat=self.no_cat,
+                    fix_attn_gate=self.fix_attn_gate,
+                    add_adapt_layer=self.add_adapt_layer,
+                    share_kv=self.share_kv, dtype=self.dtype,
                     name=f"qv_layer_{i - self.start_qv_layer}",
                 )(x, vision, query_mask)
             layer_cls = (
@@ -384,6 +461,15 @@ class LanguageBackbone(nn.Module):
     start_qv_layer: int = 6
     vision_dim: int = 256
     vision_scale: float = 1.0
+    condition_gate: bool = True
+    nonlinear_gate: bool = True
+    num_pre_select_layers: int = 2
+    no_cat: bool = True
+    fix_attn_gate: float = -1.0
+    add_adapt_layer: bool = False
+    share_kv: bool = False
+    augment_image_with_query: bool = False
+    new_mask_token: bool = False
     remat: bool = False
     dtype: Dtype = jnp.float32
 
@@ -404,6 +490,13 @@ class LanguageBackbone(nn.Module):
             num_heads=self.num_heads, intermediate_size=self.intermediate_size,
             vocab_size=self.vocab_size, start_qv_layer=self.start_qv_layer,
             vision_dim=self.vision_dim, vision_scale=self.vision_scale,
+            condition_gate=self.condition_gate,
+            nonlinear_gate=self.nonlinear_gate,
+            num_pre_select_layers=self.num_pre_select_layers,
+            no_cat=self.no_cat, fix_attn_gate=self.fix_attn_gate,
+            add_adapt_layer=self.add_adapt_layer, share_kv=self.share_kv,
+            augment_image_with_query=self.augment_image_with_query,
+            new_mask_token=self.new_mask_token,
             remat=self.remat, dtype=self.dtype, name="bert",
         )(input_ids, attention_mask, queries, query_mask, image_tokens,
           attention_matrix, position_ids, deterministic)

@@ -30,6 +30,11 @@ class FPN(nn.Module):
     """3 input levels -> 5 output levels (P3..P7 at strides 8..128)."""
 
     out_channels: int = 256
+    # MODEL.FPN.USE_GN / USE_RELU (reference conv_with_kaiming_uniform
+    # blocks, modeling/make_layers.py: optional GroupNorm + ReLU after each
+    # lateral/output conv; GLIP configs keep both off)
+    use_gn: bool = False
+    use_relu: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -38,9 +43,19 @@ class FPN(nn.Module):
         assert len(feats) == 3
         c = self.out_channels
 
+        def block(x, ksize, name):
+            y = nn.Conv(
+                c, (ksize, ksize), padding=(ksize - 1) // 2,
+                use_bias=not self.use_gn, dtype=self.dtype, name=name,
+            )(x)
+            if self.use_gn:
+                y = nn.GroupNorm(num_groups=32, dtype=self.dtype, name=f"{name}_gn")(y)
+            if self.use_relu:
+                y = nn.relu(y)
+            return y
+
         laterals = [
-            nn.Conv(c, (1, 1), dtype=self.dtype, name=f"fpn_inner{i+2}")(f)
-            for i, f in enumerate(feats)
+            block(f, 1, f"fpn_inner{i+2}") for i, f in enumerate(feats)
         ]
         # top-down
         merged = [laterals[-1]]
@@ -51,8 +66,7 @@ class FPN(nn.Module):
             merged.insert(0, laterals[i] + up)
 
         outs = [
-            nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name=f"fpn_layer{i+2}")(m)
-            for i, m in enumerate(merged)
+            block(m, 3, f"fpn_layer{i+2}") for i, m in enumerate(merged)
         ]
 
         p5 = outs[-1]

@@ -30,12 +30,43 @@ class QuerySelector:
         pure_text_rate: float = 0.0,
         random_kshot: bool = False,
         max_labels: int = 40,
+        emit_indices: bool = False,
     ):
         self.bank = bank
         self.k = num_query_per_class
         self.pure_text_rate = pure_text_rate
         self.random_kshot = random_kshot
         self.max_labels = max_labels
+        # VISION_QUERY.LEARNABLE_BANK (query_selector.py:17-20,59): emit
+        # (bank_row, slot) int32 indices instead of features; the model
+        # gathers from its learnable bank parameter so gradients reach the
+        # selected entries
+        self.emit_indices = emit_indices
+        if emit_indices:
+            assert bank is not None
+            self._label_to_row = {
+                int(l): i for i, l in enumerate(sorted(bank.labels))
+            }
+
+    def bank_table_shape(self):
+        """(rows, slots, channels) of the learnable bank parameter."""
+        assert self.bank is not None
+        rows = len(self.bank.labels)
+        slots = max(
+            (len(self.bank.get(int(l))) for l in self.bank.labels),
+            default=1,
+        ) * self.bank.num_scales
+        return rows, slots, self.bank.channels
+
+    def bank_table(self) -> np.ndarray:
+        """Dense (rows, slots, C) init values for the learnable bank."""
+        rows, slots, c = self.bank_table_shape()
+        s = self.bank.num_scales
+        table = np.zeros((rows, slots, c), np.float32)
+        for l, i in self._label_to_row.items():
+            e = self.bank.get(l).reshape(-1, c)
+            table[i, : len(e)] = e
+        return table
 
     @property
     def max_queries(self) -> int:
@@ -60,7 +91,10 @@ class QuerySelector:
         s = self.bank.num_scales if self.bank is not None else 1
         v = self.max_queries
 
-        queries = np.zeros((v, c), np.float32)
+        if self.emit_indices:
+            queries = np.zeros((v, 2), np.int32)
+        else:
+            queries = np.zeros((v, c), np.float32)
         query_mask = np.zeros((v, t_len), np.float32)
         has_query = np.zeros((self.max_labels,), np.int32)
         if self.bank is None:
@@ -82,8 +116,15 @@ class QuerySelector:
             idx = r.sample(range(len(candidates)), n)
             if not training:
                 idx = sorted(idx)
-            sel = candidates[idx]  # (n, S, C)
-            flat = sel.reshape(n * s, c)
+            if self.emit_indices:
+                row = self._label_to_row[int(label)]
+                flat = np.asarray(
+                    [(row, q * s + sc) for q in idx for sc in range(s)],
+                    np.int32,
+                )
+            else:
+                sel = candidates[idx]  # (n, S, C)
+                flat = sel.reshape(n * s, c)
             queries[cursor : cursor + len(flat)] = flat
             # binary query->token mask from the label's token span
             # (query_selector.py:105-112 re-binarizes the normalized map)

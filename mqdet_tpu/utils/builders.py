@@ -64,14 +64,30 @@ def tiny_test_config() -> CfgNode:
     return cfg
 
 
-def build_model(cfg):
+def build_model(cfg, bank_shape=None):
     """build_detection_model twin (modeling/detector/__init__.py:1-14):
-    dispatch on META_ARCHITECTURE / GROUNDINGDINO.enabled."""
+    dispatch on META_ARCHITECTURE / GROUNDINGDINO.enabled.
+
+    bank_shape: (rows, slots, C) from QuerySelector.bank_table_shape(),
+    required when VISION_QUERY.LEARNABLE_BANK."""
     if cfg.GROUNDINGDINO.enabled or cfg.MODEL.META_ARCHITECTURE == "MQGroundingDINO":
         from mqdet_tpu.models.gdino import MQGroundingDINO
 
         return MQGroundingDINO.from_config(cfg)
-    return MQGLIP.from_config(cfg)
+    return MQGLIP.from_config(cfg, bank_shape=bank_shape)
+
+
+def install_learnable_bank(params, selector):
+    """Write the bank's values into the zero-init learnable-bank param
+    (the reference loads them at construction, query_selector.py:17-20)."""
+    import jax.numpy as jnp
+
+    table = selector.bank_table()
+    p = params["params"]
+    assert "qv_layer_learnable_bank" in p, "model built without LEARNABLE_BANK"
+    old = p["qv_layer_learnable_bank"]
+    p["qv_layer_learnable_bank"] = jnp.asarray(table, old.dtype)
+    return params
 
 
 def synthetic_batch(

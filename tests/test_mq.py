@@ -172,3 +172,134 @@ def test_wordpiece_fallback_hash_vocab_stable():
     a = tok("a cat sat", max_length=8)["input_ids"]
     b = tok("a cat sat", max_length=8)["input_ids"]
     np.testing.assert_array_equal(a, b)
+
+
+def test_gcp_block_variant_knobs(rng):
+    """VISION_QUERY knob variants of the GCP stack (modeling_bert_new.py):
+    NO_CAT=False cat-gate, FIX_ATTN_GATE const, ADD_ADAPT_LAYER, SHARE_KV,
+    AUGMENT_IMAGE_WITH_QUERY, NEW_MASK_TOKEN."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.models.bert import (
+        GatedCrossAttentionBlock,
+        PreSelectModule,
+        QVBertModel,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 32)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((2, 4, 32)).astype(np.float32))
+    mask = jnp.ones((2, 4, 6), jnp.float32)
+
+    for kw in (
+        dict(no_cat=False),
+        dict(fix_attn_gate=0.25),
+        dict(add_adapt_layer=True),
+        dict(share_kv=True),
+    ):
+        blk = GatedCrossAttentionBlock(dim=32, dim_head=8, heads=4, **kw)
+        p = blk.init(jax.random.PRNGKey(0), x, vis, mask)
+        out = blk.apply(p, x, vis, mask)
+        assert out.shape == x.shape
+        assert np.isfinite(np.asarray(out)).all()
+        if "fix_attn_gate" in kw:
+            # constant gates -> no gate parameters exist
+            flat = jax.tree_util.tree_leaves_with_path(p)
+            names = ["/".join(str(getattr(k, "key", k)) for k in pth) for pth, _ in flat]
+            assert not any("gate" in n for n in names)
+
+    # zero-init gates: the block must be an identity for every variant that
+    # keeps learned gates
+    blk = GatedCrossAttentionBlock(dim=32, dim_head=8, heads=4, no_cat=False)
+    p = blk.init(jax.random.PRNGKey(1), x, vis, mask)
+    np.testing.assert_allclose(
+        np.asarray(blk.apply(p, x, vis, mask)), np.asarray(x), atol=1e-5
+    )
+
+    ps = PreSelectModule(dim=32, out_dim=48, num_layers=2,
+                         augment_image_with_query=True)
+    img = jnp.asarray(rng.standard_normal((2, 10, 32)).astype(np.float32))
+    p = ps.init(jax.random.PRNGKey(2), vis, img)
+    out = ps.apply(p, vis, img)
+    assert out.shape == (2, 4, 48)
+
+    ids = jnp.asarray([[101, 103, 150, 103, 102, 0]], jnp.int32)
+    am = jnp.asarray([[1, 1, 1, 1, 1, 0]], jnp.int32)
+    m = QVBertModel(num_layers=2, hidden_size=32, num_heads=4,
+                    intermediate_size=64, vocab_size=200, start_qv_layer=1,
+                    vision_dim=32, new_mask_token=True, mask_token_id=103)
+    q = jnp.asarray(rng.standard_normal((1, 4, 32)).astype(np.float32))
+    qm = jnp.ones((1, 4, 6), jnp.float32)
+    p = m.init(jax.random.PRNGKey(3), ids, am, q, qm)
+    names = ["/".join(str(getattr(k, "key", k)) for k in pth)
+             for pth, _ in jax.tree_util.tree_leaves_with_path(p)]
+    assert any("mask_token" in n for n in names)
+    out = m.apply(p, ids, am, q, qm)
+    assert np.isfinite(np.asarray(out["last_hidden"])).all()
+
+
+def test_learnable_bank_param_and_gradient(rng):
+    """VISION_QUERY.LEARNABLE_BANK (query_selector.py:14-24): selector emits
+    (row, slot) indices, the model gathers from a trainable bank param, and
+    gradients reach exactly the selected entries once gates are non-zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.mq.bank import QueryBank
+    from mqdet_tpu.mq.selector import QuerySelector
+    from mqdet_tpu.utils.builders import (
+        build_model,
+        install_learnable_bank,
+        synthetic_batch,
+        tiny_test_config,
+    )
+
+    bank = QueryBank(channels=16, num_scales=1, capacity=6)
+    for lab in (3, 7, 9):
+        for _ in range(4):
+            bank.add(lab, rng.standard_normal((1, 1, 16)).astype(np.float32))
+    sel = QuerySelector(bank, num_query_per_class=2, max_labels=4,
+                        emit_indices=True)
+    assert sel.bank_table_shape() == (3, 4, 16)
+
+    cfg = tiny_test_config()
+    cfg.VISION_QUERY.LEARNABLE_BANK = True
+    model = build_model(cfg, bank_shape=sel.bank_table_shape())
+    b = synthetic_batch(cfg, batch=1, image_hw=tuple(cfg.TPU.IMAGE_BUCKETS[0]),
+                        num_labels=3, k_shot=2)
+    loc = np.zeros((4, b["input_ids"].shape[1]), np.float32)
+    loc[:3, 1:4] = 1
+    q, qm, hq = sel.select([3, 7, 9], loc, training=False)
+    assert q.dtype == np.int32 and q.shape[-1] == 2
+
+    import jax.numpy as jnp
+    args = (jnp.asarray(b["images"]), jnp.asarray(b["input_ids"]),
+            jnp.asarray(b["attention_mask"]), jnp.asarray(q[None]),
+            jnp.asarray(qm[None]))
+    params = model.init(jax.random.PRNGKey(0), *args)
+    params = install_learnable_bank(params, sel)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["qv_layer_learnable_bank"][0, 0]),
+        np.asarray(bank.get(3)[0, 0]), atol=1e-6,
+    )
+    out = model.apply(params, *args, deterministic=True)
+    assert np.isfinite(np.asarray(out["dot_product_logits"][0], np.float32)).all()
+
+    # zero-init gates make the GCP block an identity, so bank grads are
+    # exactly zero at step 0 (reference property); nudge every gate and the
+    # selected entries must receive gradient
+    def nudge(path, v):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "gate" in name:
+            return v + 0.3
+        return v
+    params2 = jax.tree_util.tree_map_with_path(nudge, params)
+
+    def loss(p):
+        o = model.apply(p, *args, deterministic=True)
+        return jnp.sum(jnp.abs(o["dot_product_logits"][0].astype(jnp.float32)))
+
+    g = jax.grad(loss)(params2)
+    gb = np.asarray(g["params"]["qv_layer_learnable_bank"], np.float32)
+    per_entry = np.abs(gb).sum(-1)  # (rows, slots)
+    assert (per_entry > 0).any(), "no gradient reached the learnable bank"
