@@ -502,3 +502,21 @@ def trainable_patterns(cfg: CfgNode) -> List[str]:
     if name not in TUNING_RECIPES:
         raise KeyError(f"Unknown tuning recipe {name!r}; known: {list(TUNING_RECIPES)}")
     return TUNING_RECIPES[name]
+
+
+def frozen_patterns(cfg: CfgNode) -> List[str]:
+    """Explicit freeze flags (applied on top of the tuning recipe):
+    MODEL.BACKBONE.FREEZE / FREEZE_CONV_BODY_AT (reference
+    modeling/backbone freezing) and MODEL.LANGUAGE_BACKBONE.FREEZE
+    (bert_model_new.py requires_grad gating)."""
+    out: List[str] = []
+    if cfg.MODEL.BACKBONE.FREEZE or cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT == 0:
+        out.append("backbone/")
+    elif cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT > 0:
+        # freeze patch embed + the first FREEZE_CONV_BODY_AT-1 stages
+        out.append("backbone/patch_embed")
+        for i in range(cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT - 1):
+            out.append(f"backbone/layers_{i}")
+    if cfg.MODEL.LANGUAGE_BACKBONE.FREEZE:
+        out.append("language_backbone/")
+    return out

@@ -139,19 +139,55 @@ def check_for_positive_overflow(
     return kept
 
 
+def generate_control_options_given_probabilities(
+    control_probabilities: Sequence[float],
+    full_positive: int,
+    full_negative: int,
+    rng: Optional[random.Random] = None,
+):
+    """DATASETS.CONTROL_PROB twin (od_to_grounding.py:340-379): decide how
+    many negative/positive classes the synthesized caption gets.
+
+    control_probabilities = (one_negative, one_positive, full, drop_positive):
+      a. with prob one_negative: exactly 1 negative, 0 positives (mimics eval)
+      b. with prob one_positive: 0 negatives, 1 positive
+      c. with prob full: all positives + all negatives
+      d. otherwise: uniform-random 1..full_negative negatives, all positives
+    drop_positive must be 0 (asserted, like the reference).
+    """
+    r = rng or random
+    p_one_neg, p_one_pos, p_full, p_drop_pos = control_probabilities
+    assert p_drop_pos == 0
+    outer = r.random()
+    if outer < p_one_neg:
+        return 1, 0
+    if outer < p_one_neg + p_one_pos:
+        return 0, 1
+    if outer < p_one_neg + p_one_pos + p_full:
+        return full_negative, full_positive
+    return r.randint(1, max(1, full_negative)), full_positive
+
+
 def sample_negatives(
     positive_labels: List[int],
     all_labels: Sequence[int],
     random_sample_neg: int,
     rng: Optional[random.Random] = None,
+    control_probabilities: Optional[Sequence[float]] = None,
 ) -> List[int]:
     """Negative category sampling for grounding pretraining
     (convert_object_detection_to_grounding_optimized_for_od,
     od_to_grounding.py:149+): fill up to `random_sample_neg` total classes
-    with random negatives."""
+    with random negatives; DATASETS.CONTROL_PROB optionally caps the count
+    via generate_control_options_given_probabilities."""
     r = rng or random
     negatives = [l for l in all_labels if l not in set(positive_labels)]
     budget = max(0, random_sample_neg - len(positive_labels))
+    if control_probabilities is not None and any(control_probabilities):
+        n_neg, _ = generate_control_options_given_probabilities(
+            control_probabilities, len(positive_labels), len(negatives), r
+        )
+        budget = min(budget, n_neg)
     if budget < len(negatives):
         negatives = r.sample(list(negatives), budget)
     return list(negatives)

@@ -59,6 +59,7 @@ class GroundingTrainLoader:
             negatives = G.sample_negatives(
                 positive_labels, sorted(ds.ind_to_class.keys()),
                 cfg.DATASETS.RANDOM_SAMPLE_NEG, rng=self.rng,
+                control_probabilities=tuple(cfg.DATASETS.CONTROL_PROB),
             )
         else:
             negatives = [

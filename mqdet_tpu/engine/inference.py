@@ -38,11 +38,29 @@ class ChunkedEvaluationPlan:
         t_len = cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN
 
         all_labels = sorted(dataset.ind_to_class.keys())
+        # TEST.SELECT_CLASSES: restrict evaluation to a category subset
+        if cfg.TEST.SELECT_CLASSES:
+            keep = set(int(c) for c in cfg.TEST.SELECT_CLASSES)
+            all_labels = [l for l in all_labels if l in keep]
+        # DATASETS.CAPTION_PROMPT (ODinW prefix/name/suffix prompts,
+        # engine/inference.py:212-283): json string or list of dicts,
+        # indexed in caption (chunk-local) order
+        cap_prompt = cfg.DATASETS.CAPTION_PROMPT
+        if isinstance(cap_prompt, str):
+            import json as _json
+
+            cap_prompt = _json.loads(cap_prompt) if cap_prompt else None
         self.chunks = G.chunk_classes(all_labels, chunk_size)
+        label_pos = {l: i for i, l in enumerate(all_labels)}
         self.bundles = [
             G.build_prompt(
                 chunk, dataset.ind_to_class, tokenizer, max_text_len=t_len,
                 separation_tokens=cfg.DATASETS.SEPARATION_TOKENS,
+                caption_prompt=(
+                    [cap_prompt[label_pos[l]] for l in chunk]
+                    if cap_prompt is not None
+                    else None
+                ),
             )
             for chunk in self.chunks
         ]
@@ -154,10 +172,16 @@ def run_inference(
     evaluator.register_categories(dataset.ind_to_class.keys())
 
     ids = dataset.ids[:max_images] if max_images else dataset.ids
+    if cfg.VISION_QUERY.DEBUG:
+        # VISION_QUERY.DEBUG (engine/inference.py:578-580): stop after a
+        # couple of images for fast smoke runs
+        ids = ids[:2]
     t0 = time.time()
-    for count, img_id in enumerate(ids):
-        img = dataset.load_image(img_id)
-        padded, (oh, ow), (sy, sx) = transform(img)
+
+    def detect(img, tfm):
+        """One full chunked pass over `img` with transform `tfm` ->
+        (boxes, scores, labels) in the original image frame."""
+        padded, (oh, ow), (sy, sx) = tfm(img)
         images = jnp.asarray(padded[None])
         feats = encode_fn(params, images)
         sizes = jnp.asarray([[oh, ow]] * cp, jnp.float32)
@@ -183,6 +207,53 @@ def run_inference(
                 det_boxes.append(b * np.array([sx, sy, sx, sy], np.float32))
                 det_scores.append(scores[row][v])
                 det_labels.append(glob)
+        return det_boxes, det_scores, det_labels
+
+    use_tta = cfg.TEST.USE_MULTISCALE
+    for count, img_id in enumerate(ids):
+        img = dataset.load_image(img_id)
+        if use_tta:
+            # TEST.USE_MULTISCALE: multi-scale + flip TTA with box merging
+            # (box_aug.py im_detect_bbox_aug semantics)
+            from mqdet_tpu.engine.box_aug import im_detect_bbox_aug
+
+            def predict_at_scale(im, min_size, max_size, hflip):
+                c2 = cfg.clone()
+                c2.INPUT.MIN_SIZE_TEST = min_size
+                c2.INPUT.MAX_SIZE_TEST = max_size
+                im_in = im[:, ::-1] if hflip else im
+                bs, ss, ls = detect(im_in, EvalTransform(c2))
+                if not bs:
+                    return dict(
+                        boxes=np.zeros((0, 4), np.float32),
+                        scores=np.zeros((0,), np.float32),
+                        labels=np.zeros((0,), np.int32),
+                    )
+                b = np.concatenate(bs)
+                if hflip:
+                    w = im.shape[1]
+                    b = np.stack(
+                        [w - b[:, 2], b[:, 1], w - b[:, 0], b[:, 3]], -1
+                    )
+                return dict(
+                    boxes=b, scores=np.concatenate(ss),
+                    labels=np.concatenate(ls),
+                )
+
+            merged = im_detect_bbox_aug(
+                predict_at_scale, img,
+                scales=tuple(cfg.TEST.SCALES or (cfg.INPUT.MIN_SIZE_TEST,)),
+                max_size=cfg.TEST.MAX_SIZE or cfg.INPUT.MAX_SIZE_TEST,
+                flip=cfg.TEST.FLIP,
+                nms_type=cfg.TEST.SPECIAL_NMS,
+                thresh=cfg.TEST.TH,
+                max_detections=cfg.MODEL.ATSS.DETECTIONS_PER_IMG,
+            )
+            det_boxes = [merged["boxes"]]
+            det_scores = [merged["scores"]]
+            det_labels = [merged["labels"]]
+        else:
+            det_boxes, det_scores, det_labels = detect(img, transform)
 
         if det_boxes:
             db = np.concatenate(det_boxes)
@@ -214,9 +285,11 @@ def run_inference(
     # representative forward with the intermediates collection enabled
     if cfg.VISION_QUERY.RETURN_ATTN_GATE_VALUE and use_q and len(ids):
         g0 = groups[0]
+        padded0, _, _ = transform(dataset.load_image(ids[0]))
+        feats0 = encode_fn(params, jnp.asarray(padded0[None]))
         _, inter = model.apply(
             params,
-            list(feats),
+            list(feats0),
             g0["input_ids"],
             g0["attention_mask"],
             g0["queries"],

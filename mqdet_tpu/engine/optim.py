@@ -198,7 +198,8 @@ def make_optimizer(cfg, params, trainable_patterns: List[str] = None):
     return optax.chain(*chain), lr_tree
 
 
-def partition_params(params, trainable_patterns: List[str]):
+def partition_params(params, trainable_patterns: List[str],
+                     frozen_patterns: List[str] = ()):
     """Split a param tree into flat {path: array} dicts and a merge fn.
 
     Mirrors requires_grad gating (tools/train_net.py:67-82,112-126): a leaf
@@ -209,12 +210,14 @@ def partition_params(params, trainable_patterns: List[str]):
     """
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     names = [path_name(p) for p, _ in flat]
-    trainable = {
-        n: v for n, (_, v) in zip(names, flat) if is_trainable(n, trainable_patterns)
-    }
-    frozen = {
-        n: v for n, (_, v) in zip(names, flat) if not is_trainable(n, trainable_patterns)
-    }
+
+    def train_ok(n):
+        if any(fp in n for fp in frozen_patterns):
+            return False
+        return is_trainable(n, trainable_patterns)
+
+    trainable = {n: v for n, (_, v) in zip(names, flat) if train_ok(n)}
+    frozen = {n: v for n, (_, v) in zip(names, flat) if not train_ok(n)}
 
     def merge(trainable_d, frozen_d):
         leaves = [

@@ -35,8 +35,10 @@ class TrainState:
     lr_scale: Any           # autostep plateau multiplier (scalar)
 
 
-def init_train_state(params, cfg, trainable_patterns):
-    trainable, frozen, merge = O.partition_params(params, trainable_patterns)
+def init_train_state(params, cfg, trainable_patterns, frozen_patterns=()):
+    trainable, frozen, merge = O.partition_params(
+        params, trainable_patterns, frozen_patterns
+    )
     tx, _ = O.make_optimizer(cfg, trainable, trainable_patterns)
     opt_state = tx.init(trainable)
     ema = jax.tree.map(lambda x: x, trainable) if cfg.SOLVER.MODEL_EMA > 0 else None

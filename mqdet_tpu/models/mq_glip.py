@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mqdet_tpu.models.bert import LanguageBackbone
+from mqdet_tpu.models.text_towers import CLIPTextTransformer, RNNEncoder
 from mqdet_tpu.models.fpn import FPN
 from mqdet_tpu.models.layers import avg_pool_2x
 from mqdet_tpu.models.swin import SwinTransformer
@@ -78,6 +79,9 @@ class MQGLIP(nn.Module):
     start_qv_layer: int = 6
     vision_scale: float = 1.0
     n_agg_layers: int = 1
+    # MODEL.LANGUAGE_BACKBONE.MODEL_TYPE registry (backbone.py:15-54):
+    # bert-base-uncased (GCP-capable), clip, rnn
+    lang_model_type: str = "bert-base-uncased"
     condition_gate: bool = True
     nonlinear_gate: bool = True
     num_pre_select_layers: int = 2
@@ -150,6 +154,7 @@ class MQGLIP(nn.Module):
             start_qv_layer=cfg.VISION_QUERY.START_QV_LAYER,
             vision_scale=cfg.VISION_QUERY.VISION_SCALE,
             n_agg_layers=cfg.MODEL.LANGUAGE_BACKBONE.N_LAYERS,
+            lang_model_type=cfg.MODEL.LANGUAGE_BACKBONE.MODEL_TYPE,
             condition_gate=cfg.VISION_QUERY.CONDITION_GATE,
             nonlinear_gate=cfg.VISION_QUERY.NONLINEAR_GATE,
             num_pre_select_layers=cfg.VISION_QUERY.NUM_PRE_SELECT_LAYERS,
@@ -198,6 +203,24 @@ class MQGLIP(nn.Module):
             out_channels=self.out_channels, use_gn=self.fpn_use_gn,
             use_relu=self.fpn_use_relu, dtype=self.dtype, name="fpn",
         )
+        import os as _os
+
+        lang_type = _os.path.basename(self.lang_model_type)
+        if lang_type == "clip":
+            self.language_backbone = CLIPTextTransformer(
+                width=self.lang_dim, layers=self.lang_layers,
+                heads=self.lang_heads, dtype=self.dtype,
+                name="language_backbone",
+            )
+            return self._setup_rest()
+        if lang_type == "rnn":
+            # bidirectional output = hidden * 2 (reference rnn_model.py:54),
+            # so the per-direction width is lang_dim // 2
+            self.language_backbone = RNNEncoder(
+                hidden_size=self.lang_dim // 2, dtype=self.dtype,
+                name="language_backbone",
+            )
+            return self._setup_rest()
         self.language_backbone = LanguageBackbone(
             num_layers=self.lang_layers,
             hidden_size=self.lang_dim,
@@ -221,6 +244,9 @@ class MQGLIP(nn.Module):
             dtype=self.dtype,
             name="language_backbone",
         )
+        self._setup_rest()
+
+    def _setup_rest(self):
         self.rpn = VLDyHead(
             query_fusion=self.query_fusion,
             add_linear_layer=self.add_linear_layer,
@@ -289,14 +315,23 @@ class MQGLIP(nn.Module):
         if queries is not None:
             image_tokens = flatten_fpn_features(fpn_feats)
 
-        lang = self.language_backbone(
-            input_ids,
-            attention_mask,
-            queries=queries.astype(self.dtype) if queries is not None else None,
-            query_mask=query_mask,
-            image_tokens=image_tokens,
-            deterministic=deterministic,
-        )
+        if isinstance(self.language_backbone, LanguageBackbone):
+            lang = self.language_backbone(
+                input_ids,
+                attention_mask,
+                queries=queries.astype(self.dtype) if queries is not None else None,
+                query_mask=query_mask,
+                image_tokens=image_tokens,
+                deterministic=deterministic,
+            )
+        else:
+            # clip / rnn towers (no GCP pathway -> no vision queries)
+            assert queries is None, (
+                "vision queries require the bert language backbone"
+            )
+            lang = self.language_backbone(
+                input_ids, attention_mask, deterministic=deterministic
+            )
 
         head_out = self.rpn(
             fpn_feats,

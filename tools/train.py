@@ -39,7 +39,7 @@ def parse_args():
 
 
 def load_config(args):
-    from mqdet_tpu.core.config import default_config
+    from mqdet_tpu.core.config import frozen_patterns, default_config
 
     cfg = default_config()
     cfg.merge_from_file(args.config_file)
@@ -128,7 +128,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from mqdet_tpu.core.config import trainable_patterns
+    from mqdet_tpu.core.config import frozen_patterns, trainable_patterns
     from mqdet_tpu.data.loader import GroundingTrainLoader
     from mqdet_tpu.data.tokenizer import get_tokenizer
     from mqdet_tpu.engine.train import init_train_state, make_train_step
@@ -218,7 +218,7 @@ def main():
     if cfg.SOLVER.MAX_ITER <= 0:
         cfg.SOLVER.MAX_ITER = cfg.SOLVER.MAX_EPOCH * loader.steps_per_epoch()
 
-    state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg))
+    state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg), frozen_patterns(cfg))
     anchors_l = anchors_for_fpn(
         bucket,
         strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
