@@ -266,6 +266,10 @@ def _head_rules():
             r += [
                 (ours_d + rf"/dyconv_{c}/kernel", dy + f".DyConv.{c}.conv.weight", _t_conv),
                 (ours_d + rf"/dyconv_{c}/bias", dy + f".DyConv.{c}.conv.bias", _ident),
+                # USE_DFCONV=False variant: plain conv nests one level deeper
+                # on our side (reference Conv3x3Norm keeps `conv` either way)
+                (ours_d + rf"/dyconv_{c}/conv/kernel", dy + f".DyConv.{c}.conv.weight", _t_conv),
+                (ours_d + rf"/dyconv_{c}/conv/bias", dy + f".DyConv.{c}.conv.bias", _ident),
                 (ours_d + rf"/dyconv_{c}/gn/scale", dy + f".DyConv.{c}.bn.weight", _ident),
                 (ours_d + rf"/dyconv_{c}/gn/bias", dy + f".DyConv.{c}.bn.bias", _ident),
             ]

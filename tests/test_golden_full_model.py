@@ -1,0 +1,273 @@
+"""GOLDEN full-model parity: our MQ-GLIP vs the reference GeneralizedVLRCNN_New.
+
+The strongest end-to-end evidence for the rebuild: instantiate the ACTUAL
+reference detector (generalized_vl_rcnn_new.py:90-519) at a tiny-but-real
+config on CPU, copy its torch weights into our flax tree through the
+production importer (mqdet_tpu/io/torch_import.py), run one image + caption
++ vision-query bank through BOTH stacks, and require the final detections
+(post score-threshold, top-k, NMS, cap) to agree.
+
+Covers, in one shot: Swin windows/padding -> FPN+P6P7 -> PreSelect ->
+GCP-BERT interleave -> VLFuse X-MHA -> BertEncoderLayer -> DyConv tower ->
+dot-product logits -> anchor decode -> MEAN token aggregation -> ml_nms ->
+detections cap. (DCN is exercised by dedicated module tests; the CUDA
+kernel can't run on CPU so USE_DFCONV is off here.)
+"""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference tree not mounted"
+)
+
+CLASS_NAMES = {1: "cat", 2: "dog", 3: "zebra"}
+IMG = 224
+T = 48  # MAX_QUERY_LEN
+K = 3  # queries per class == bank size per class -> deterministic selection
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    import ref_harness as rh
+
+    root = tmp_path_factory.mktemp("golden")
+    bert_dir = rh.make_bert_assets(root)
+    bank_path = root / "bank.pth"
+    bank = rh.make_tiny_bank(
+        bank_path, labels=tuple(CLASS_NAMES), n_queries=K, channels=64, seed=3
+    )
+    return {"bert_dir": bert_dir, "bank_path": str(bank_path), "bank": bank}
+
+
+@pytest.fixture(scope="module")
+def ref_side(assets):
+    """Reference model + its caption/positive-map + forward output."""
+    import ref_harness as rh
+
+    cfg = rh.tiny_ref_cfg(assets["bert_dir"], assets["bank_path"], IMG)
+    cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN = T
+    model = rh.build_ref_model(cfg, seed=0, excite_gates=True)
+
+    inf = rh.ref_import("maskrcnn_benchmark.engine.inference")
+    labels = sorted(CLASS_NAMES)
+    caption, label_to_token = inf.create_queries_and_maps(
+        labels, [CLASS_NAMES[i] for i in labels], cfg=cfg, disable_print=True
+    )
+
+    rng = np.random.default_rng(7)
+    image = rng.standard_normal((IMG, IMG, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        out = model(
+            torch.from_numpy(image.transpose(2, 0, 1)[None]),
+            captions=[caption],
+            positive_map=label_to_token,
+        )
+    box = out[0]
+    return {
+        "cfg": cfg,
+        "model": model,
+        "caption": caption,
+        "label_to_token": label_to_token,
+        "image": image,
+        "boxes": box.bbox.numpy(),
+        "scores": box.get_field("scores").numpy(),
+        "labels": box.get_field("labels").numpy(),
+    }
+
+
+def _our_cfg(assets):
+    from mqdet_tpu.utils.builders import mq_glip_t_config
+
+    cfg = mq_glip_t_config()
+    cfg.MODEL.SWINT.EMBED_DIM = 32
+    cfg.MODEL.SWINT.DEPTHS = (1, 1, 1, 1)
+    cfg.MODEL.SWINT.NUM_HEADS = (1, 2, 4, 8)
+    cfg.MODEL.SWINT.WINDOW_SIZE = 7
+    cfg.MODEL.SWINT.DROP_PATH_RATE = 0.0
+    cfg.MODEL.BACKBONE.OUT_CHANNELS = 64
+    cfg.MODEL.DYHEAD.NUM_CONVS = 2
+    cfg.MODEL.DYHEAD.CHANNELS = 64
+    cfg.MODEL.DYHEAD.USE_DFCONV = False
+    cfg.MODEL.DYHEAD.SCORE_AGG = "MEAN"
+    cfg.MODEL.LANGUAGE_BACKBONE.HIDDEN_LAYERS = 8
+    cfg.MODEL.LANGUAGE_BACKBONE.LANG_DIM = 128
+    cfg.MODEL.LANGUAGE_BACKBONE.HIDDEN_SIZE = 128
+    cfg.MODEL.LANGUAGE_BACKBONE.NUM_HEADS = 4
+    cfg.MODEL.LANGUAGE_BACKBONE.INTERMEDIATE_SIZE = 256
+    cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN = T
+    cfg.VISION_QUERY.START_QV_LAYER = 6
+    cfg.VISION_QUERY.NUM_QUERY_PER_CLASS = K
+    cfg.MODEL.ATSS.INFERENCE_TH = 0.01
+    cfg.MODEL.ATSS.PRE_NMS_TOP_N = 200
+    cfg.MODEL.ATSS.NMS_TH = 0.6
+    cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 20
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.IMAGE_BUCKETS = ((IMG, IMG),)
+    # vocab: tiny local bert dir
+    with open(os.path.join(assets["bert_dir"], "vocab.txt")) as f:
+        vocab_size = sum(1 for _ in f)
+    cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE = vocab_size
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def our_side(assets, ref_side):
+    import jax
+    import jax.numpy as jnp
+
+    from mqdet_tpu.data.grounding import build_prompt
+    from mqdet_tpu.data.tokenizer import get_tokenizer
+    from mqdet_tpu.engine.predict import make_predict_fn
+    from mqdet_tpu.io.torch_import import import_glip_checkpoint
+    from mqdet_tpu.mq.bank import QueryBank
+    from mqdet_tpu.mq.selector import QuerySelector
+    from mqdet_tpu.utils.builders import build_model
+
+    cfg = _our_cfg(assets)
+    tok = get_tokenizer(assets["bert_dir"])
+    labels = sorted(CLASS_NAMES)
+    bundle = build_prompt(labels, CLASS_NAMES, tok, max_text_len=T)
+
+    bank = QueryBank(channels=64)
+    for l, v in assets["bank"].items():
+        bank.add(int(l), v.numpy())
+    selector = QuerySelector(bank, num_query_per_class=K, max_labels=len(labels))
+    queries, query_mask, has_query = selector.select(
+        labels, bundle.all_map, training=False
+    )
+
+    model = build_model(cfg)
+    args = (
+        jnp.asarray(ref_side["image"][None]),
+        jnp.asarray(bundle.input_ids[None]),
+        jnp.asarray(bundle.attention_mask[None]),
+        jnp.asarray(queries[None]),
+        jnp.asarray(query_mask[None]),
+    )
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), *args)
+    params = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), params
+    )
+
+    state = {
+        k: v.detach().cpu().numpy()
+        for k, v in ref_side["model"].state_dict().items()
+    }
+    params, report = import_glip_checkpoint(params, state)
+
+    def model_apply(p, *a, **kw):
+        return model.apply(p, *a, **kw)
+
+    predict = make_predict_fn(model_apply, (IMG, IMG), cfg)
+    agg_map = bundle.agg_map[None]
+    image_sizes = np.asarray([[IMG, IMG]], np.float32)
+    dets = predict(
+        params, *args, jnp.asarray(agg_map), jnp.asarray(image_sizes)
+    )
+    dets = jax.tree_util.tree_map(np.asarray, dets)
+    return {
+        "cfg": cfg,
+        "bundle": bundle,
+        "queries": queries,
+        "query_mask": query_mask,
+        "report": report,
+        "dets": dets,
+        "params": params,
+        "model": model,
+        "args": args,
+    }
+
+
+def test_importer_full_coverage(our_side):
+    """Every flax leaf is filled from the real reference state dict, and
+    every reference weight is consumed (buffers like position_ids aside)."""
+    rep = our_side["report"]
+    assert rep["missing"] == [], f"unfilled flax leaves: {rep['missing'][:10]}"
+    real_unused = [
+        k
+        for k in rep["unused"]
+        if "position_ids" not in k and "relative_position_index" not in k
+        and "attn_mask" not in k
+        # anchor grids are buffers; we precompute anchors host-side
+        # (mqdet_tpu/ops/anchors.py) instead of carrying them as state
+        and "anchor_generator.cell_anchors" not in k
+    ]
+    assert real_unused == [], f"unconsumed reference weights: {real_unused[:10]}"
+
+
+def test_caption_and_tokenization_parity(assets, ref_side, our_side):
+    """Caption construction + our WordPiece vs HF BertTokenizer ids."""
+    bundle = our_side["bundle"]
+    assert bundle.caption == ref_side["caption"]
+
+    from transformers import AutoTokenizer
+
+    hf = AutoTokenizer.from_pretrained(assets["bert_dir"], local_files_only=True)
+    enc = hf(
+        [ref_side["caption"]], max_length=T, padding="max_length",
+        truncation=True, return_tensors="np",
+    )
+    np.testing.assert_array_equal(bundle.input_ids, enc["input_ids"][0])
+    np.testing.assert_array_equal(
+        bundle.attention_mask, enc["attention_mask"][0]
+    )
+
+
+def test_positive_map_parity(ref_side, our_side):
+    """Our all_map == the reference get_labels_and_maps_from_positive_map."""
+    label_to_token = ref_side["label_to_token"]
+    labels = sorted(CLASS_NAMES)
+    want = np.zeros((len(labels), T), np.float32)
+    for j, l in enumerate(labels):
+        want[j, label_to_token[l]] = 1.0
+    want = want / (want.sum(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(our_side["bundle"].all_map, want, atol=1e-6)
+
+
+def test_query_selector_parity(ref_side, our_side):
+    """Our padded query tensor/mask == the reference QuerySelector output."""
+    labels = sorted(CLASS_NAMES)
+    all_map = torch.from_numpy(our_side["bundle"].all_map)
+    with torch.no_grad():
+        q_ref, m_ref, has_ref = ref_side["model"].query_selector(
+            [labels], [all_map], None
+        )
+    v = q_ref.shape[1]
+    np.testing.assert_allclose(
+        our_side["queries"][:v], q_ref[0].numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        our_side["query_mask"][:v], m_ref[0].numpy(), atol=1e-6
+    )
+    # padded tail must be fully masked
+    assert np.all(our_side["query_mask"][v:] == 0)
+    assert list(has_ref[0]) == [1] * len(labels)
+
+
+def test_final_detections_parity(ref_side, our_side):
+    """Boxes / scores / labels agree after the full pipeline incl. NMS."""
+    dets = our_side["dets"]
+    valid = np.asarray(dets.valid[0]).astype(bool)
+    boxes = np.asarray(dets.boxes[0])[valid]
+    scores = np.asarray(dets.scores[0])[valid]
+    labels = np.asarray(dets.labels[0])[valid]
+
+    order = np.argsort(-scores)
+    boxes, scores, labels = boxes[order], scores[order], labels[order]
+
+    r_order = np.argsort(-ref_side["scores"])
+    r_boxes = ref_side["boxes"][r_order]
+    r_scores = ref_side["scores"][r_order]
+    r_labels = ref_side["labels"][r_order]
+
+    assert len(scores) == len(r_scores), (
+        f"detection count {len(scores)} vs reference {len(r_scores)}"
+    )
+    np.testing.assert_allclose(scores, r_scores, atol=2e-4)
+    np.testing.assert_array_equal(labels, r_labels)
+    np.testing.assert_allclose(boxes, r_boxes, atol=0.05)
