@@ -266,9 +266,12 @@ class SwinBlock(nn.Module):
         is given.
         """
         ws = self.window_size
-        # if the whole map fits in one window, shifting is a no-op modulo the
-        # roll; disable it (standard Swin rule when window_size >= min(H, W))
-        shift = self.shift_size if min(h, w) > ws else 0
+        # NOTE: the reference (swint.py:186-244) keeps the cyclic shift even
+        # when the map is smaller than the window — zeros are rolled through
+        # the padded map and the slice mask partitions the single window.
+        # The timm-style "disable shift when window >= min(H,W)" rule would
+        # diverge from it on small feature maps.
+        shift = self.shift_size
         b, _, c = x.shape
         shortcut = x
         shortcut_text = x_text
