@@ -67,17 +67,19 @@ def _match(det_boxes, gt_boxes, gt_ignore, thresholds):
         for di in range(d):
             best, best_iou = -1, thr - 1e-10
             for gi in range(g):
-                if taken[gi] and not gt_ignore[gi]:
+                # any matched gt — real OR ignored — is consumed
+                # (lvis_eval.py:366 `if gt_m[...] > 0: continue`)
+                if taken[gi]:
                     continue
                 if gt_ignore[gi] and best > -1 and not gt_ignore[best]:
                     break  # gts sorted: real first, ignored last
                 if ious[di, gi] > best_iou:
                     best, best_iou = gi, ious[di, gi]
             if best > -1:
+                taken[best] = True
                 if gt_ignore[best]:
                     dt_ig[ti, di] = True
                 else:
-                    taken[best] = True
                     tp[ti, di] = True
     return tp, dt_ig
 
@@ -138,6 +140,10 @@ class DetectionEvaluator:
         self._images = set()
         self._cat_pos_images = defaultdict(set)
         self._cat_neg_images = defaultdict(set)
+        # (image, category) pairs where the category was NOT exhaustively
+        # annotated: unmatched detections there are ignored, not FPs
+        # (lvis_eval.py:389-398)
+        self._cat_nel_images = defaultdict(set)
         self._categories = set()
 
     def add_image(
@@ -163,6 +169,8 @@ class DetectionEvaluator:
         for c in neg_category_ids:
             self._cat_neg_images[int(c)].add(image_id)
             self._categories.add(int(c))
+        for c in not_exhaustive_category_ids:
+            self._cat_nel_images[int(c)].add(image_id)
 
         if self.style == "coco" and len(det_scores) > self.max_dets:
             order = np.argsort(-det_scores, kind="mergesort")[: self.max_dets]
@@ -214,6 +222,9 @@ class DetectionEvaluator:
                 dboxes = np.asarray([b for _, b in img_dets], np.float32).reshape(-1, 4)
                 dscores = np.asarray([s for s, _ in img_dets], np.float32)
                 tp, dt_ig = _match(dboxes, gts, gt_ig, IOU_THRESHOLDS)
+                if img in self._cat_nel_images.get(cat, ()):
+                    # not exhaustively annotated: unmatched dets are ignored
+                    dt_ig = dt_ig | ~tp
                 scores_all.append(dscores)
                 tp_all.append(tp)
                 ig_all.append(dt_ig)

@@ -64,7 +64,9 @@ void match_detections(
       int64_t best = -1;
       double best_iou = thr - 1e-10;
       for (int64_t g = 0; g < G; ++g) {
-        if (taken[(size_t)g] && !gt_ignore[g]) continue;
+        // any matched gt — real OR ignored — is consumed
+        // (vendored lvis_eval.py:366 `if gt_m[...] > 0: continue`)
+        if (taken[(size_t)g]) continue;
         // gts sorted real-first: once we reach ignored gts with a real match
         // in hand, stop (COCOeval tie-break rule)
         if (gt_ignore[g] && best > -1 && !gt_ignore[best]) break;
@@ -72,10 +74,10 @@ void match_detections(
         if (v > best_iou) { best = g; best_iou = v; }
       }
       if (best > -1) {
+        taken[(size_t)best] = 1;
         if (gt_ignore[best]) {
           det_ignore[t * D + d] = 1;
         } else {
-          taken[(size_t)best] = 1;
           tp[t * D + d] = 1;
         }
       }

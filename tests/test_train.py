@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mqdet_tpu.core.config import trainable_patterns
 from mqdet_tpu.engine import losses as L
@@ -120,6 +121,7 @@ def test_text_dropout_masks_spans():
     assert (np.asarray(out2) == np.asarray(ids)).all()
 
 
+@pytest.mark.slow
 def test_train_step_updates_only_trainable():
     cfg = tiny_test_config()
     cfg.SOLVER.TUNING_HIGHLEVEL_OVERRIDE = "vision_query"
@@ -178,6 +180,7 @@ def test_profiling_helpers(tmp_path):
             (x + 1).block_until_ready()
 
 
+@pytest.mark.slow
 def test_remat_gradients_match():
     """TPU.REMAT (reference gradient checkpointing, vldyhead.py:374-377,
     modeling_bert_new.py:577-598): same forward and same gradients, less
