@@ -30,12 +30,15 @@ class GroundingTrainLoader:
         selector: Optional[QuerySelector] = None,
         max_gt: int = 64,
         seed: int = 0,
+        num_hosts: Optional[int] = None,
+        host_id: Optional[int] = None,
     ):
         self.dataset = dataset
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.selector = selector
         self.max_gt = max_gt
+        self.seed = seed
         self.rng = random.Random(seed)
         self.transform = TrainTransform(cfg)
         self.t_len = cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN
@@ -43,9 +46,24 @@ class GroundingTrainLoader:
         self.batch_size = max(1, cfg.SOLVER.IMS_PER_BATCH)
         copies = max(1, cfg.DATASETS.GENERAL_COPY)
         self.epoch_ids = list(dataset.ids) * copies
+        # multi-host data sharding (reference DistributedSampler semantics,
+        # data/samplers/distributed.py:12-72): every host shuffles the SAME
+        # permutation (seed+epoch), then takes a strided shard.
+        if num_hosts is None:
+            try:
+                import jax
+
+                num_hosts = jax.process_count()
+                host_id = jax.process_index()
+            except Exception:
+                num_hosts, host_id = 1, 0
+        self.num_hosts = max(1, num_hosts)
+        self.host_id = host_id or 0
+        self.epoch = 0
 
     def steps_per_epoch(self) -> int:
-        return max(1, len(self.epoch_ids) // self.batch_size)
+        shard = -(-len(self.epoch_ids) // self.num_hosts)
+        return max(1, shard // self.batch_size)
 
     def _one_example(self, img_id) -> Dict[str, np.ndarray]:
         ds = self.dataset
@@ -137,9 +155,14 @@ class GroundingTrainLoader:
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        ids = list(self.epoch_ids)
-        if not self.cfg.DATASETS.DISABLE_SHUFFLE:
-            self.rng.shuffle(ids)
+        from mqdet_tpu.data.samplers import distributed_shard
+
+        ids = distributed_shard(
+            self.epoch_ids, self.num_hosts, self.host_id,
+            shuffle=not self.cfg.DATASETS.DISABLE_SHUFFLE,
+            seed=self.seed, epoch=self.epoch,
+        )
+        self.epoch += 1
         batch = []
         for img_id in ids:
             batch.append(self._one_example(img_id))
