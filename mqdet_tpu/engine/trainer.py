@@ -49,7 +49,19 @@ def do_train(
 
     logger = MetricLogger()
     jsonl = JsonlLogger(cfg.OUTPUT_DIR)
+    # Per-step rng is fold_in(base, iteration) — a pure function of the
+    # absolute iteration, so a resumed run replays the exact rng stream the
+    # uninterrupted run would have used (DetectronCheckpointer resume
+    # contract, utils/checkpoint.py:116-131, made bitwise on TPU).
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.SOLVER.SEED)
+
+    # Fast-forward the data stream to the resume point: the loader reshuffles
+    # per epoch from (seed, epoch), so restoring `epoch` and skipping the
+    # already-consumed batches of the current epoch reproduces the schedule.
+    steps_pe = data_loader.steps_per_epoch()
+    if start_iter and hasattr(data_loader, "epoch"):
+        data_loader.epoch = start_iter // steps_pe
+    skip_batches = start_iter % steps_pe if start_iter else 0
 
     if mesh is not None:
         from mqdet_tpu.parallel.mesh import replicate, shard_batch
@@ -66,6 +78,9 @@ def do_train(
         for batch in data_loader:
             if iteration >= max_iter:
                 break
+            if skip_batches > 0:
+                skip_batches -= 1
+                continue
             data_time = time.time() - t_end
 
             # negative-batch skip (trainer.py:93-98): if too many images in
@@ -82,7 +97,7 @@ def do_train(
             else:
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-            rng, step_rng = jax.random.split(rng)
+            step_rng = jax.random.fold_in(rng, iteration)
             state, metrics = step_fn(state, batch, step_rng)
             iteration += 1
 

@@ -67,19 +67,37 @@ def strip_prefixes(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _swin_rules() -> List[Tuple[str, str, object]]:
+def _t_inproj_w(i):
+    """Slice q/k/v (i=0/1/2) out of a torch MultiheadAttention in_proj_weight
+    (3C, C) and transpose to a flax Dense kernel."""
+
+    def tf(w):
+        c = w.shape[0] // 3
+        return np.transpose(w[i * c : (i + 1) * c], (1, 0))
+
+    return tf
+
+
+def _t_inproj_b(i):
+    def tf(b):
+        c = b.shape[0] // 3
+        return b[i * c : (i + 1) * c]
+
+    return tf
+
+
+def _swin_rules(our: str = "backbone", b: str = "backbone.body") -> List[Tuple[str, str, object]]:
     r = []
-    b = "backbone.body"
     r += [
-        (r"backbone/patch_embed_proj/kernel", f"{b}.patch_embed.proj.weight", _t_conv),
-        (r"backbone/patch_embed_proj/bias", f"{b}.patch_embed.proj.bias", _ident),
-        (r"backbone/patch_embed_norm/scale", f"{b}.patch_embed.norm.weight", _ident),
-        (r"backbone/patch_embed_norm/bias", f"{b}.patch_embed.norm.bias", _ident),
+        (rf"{our}/patch_embed_proj/kernel", f"{b}.patch_embed.proj.weight", _t_conv),
+        (rf"{our}/patch_embed_proj/bias", f"{b}.patch_embed.proj.bias", _ident),
+        (rf"{our}/patch_embed_norm/scale", f"{b}.patch_embed.norm.weight", _ident),
+        (rf"{our}/patch_embed_norm/bias", f"{b}.patch_embed.norm.bias", _ident),
     ]
     # blocks: our name layers_{i}_blocks_{j}
     def blk(i, j, ours, theirs, tf):
         return (
-            rf"backbone/layers_{i}_blocks_{j}/{ours}",
+            rf"{our}/layers_{i}_blocks_{j}/{ours}",
             f"{b}.layers.{i}.blocks.{j}.{theirs}",
             tf,
         )
@@ -103,14 +121,14 @@ def _swin_rules() -> List[Tuple[str, str, object]]:
                 blk(i, j, "mlp/fc2/bias", "mlp.fc2.bias", _ident),
             ]
         r += [
-            (rf"backbone/layers_{i}_downsample/norm/scale",
+            (rf"{our}/layers_{i}_downsample/norm/scale",
              f"{b}.layers.{i}.downsample.norm.weight", _ident),
-            (rf"backbone/layers_{i}_downsample/norm/bias",
+            (rf"{our}/layers_{i}_downsample/norm/bias",
              f"{b}.layers.{i}.downsample.norm.bias", _ident),
-            (rf"backbone/layers_{i}_downsample/reduction/kernel",
+            (rf"{our}/layers_{i}_downsample/reduction/kernel",
              f"{b}.layers.{i}.downsample.reduction.weight", _t_linear),
-            (rf"backbone/norm{i}/scale", f"{b}.norm{i}.weight", _ident),
-            (rf"backbone/norm{i}/bias", f"{b}.norm{i}.bias", _ident),
+            (rf"{our}/norm{i}/scale", f"{b}.norm{i}.weight", _ident),
+            (rf"{our}/norm{i}/bias", f"{b}.norm{i}.bias", _ident),
         ]
     return r
 
@@ -134,22 +152,21 @@ def _fpn_rules():
     return r
 
 
-def _bert_rules():
-    lb = "language_backbone.body.model"
+def _bert_rules(ob: str = "language_backbone/bert", lb: str = "language_backbone.body.model"):
     r = [
-        (r"language_backbone/bert/embeddings/word_embeddings/embedding",
+        (rf"{ob}/embeddings/word_embeddings/embedding",
          f"{lb}.embeddings.word_embeddings.weight", _ident),
-        (r"language_backbone/bert/embeddings/position_embeddings/embedding",
+        (rf"{ob}/embeddings/position_embeddings/embedding",
          f"{lb}.embeddings.position_embeddings.weight", _ident),
-        (r"language_backbone/bert/embeddings/token_type_embeddings/embedding",
+        (rf"{ob}/embeddings/token_type_embeddings/embedding",
          f"{lb}.embeddings.token_type_embeddings.weight", _ident),
-        (r"language_backbone/bert/embeddings/ln/scale",
+        (rf"{ob}/embeddings/ln/scale",
          f"{lb}.embeddings.LayerNorm.weight", _ident),
-        (r"language_backbone/bert/embeddings/ln/bias",
+        (rf"{ob}/embeddings/ln/bias",
          f"{lb}.embeddings.LayerNorm.bias", _ident),
     ]
     for i in range(12):
-        p = rf"language_backbone/bert/layer_{i}"
+        p = rf"{ob}/layer_{i}"
         q = f"{lb}.encoder.layer.{i}"
         r += [
             (p + r"/attention_self/query/kernel", q + ".attention.self.query.weight", _t_linear),
@@ -195,11 +212,11 @@ def _bert_rules():
 
     for i in range(6):
         r += gcp(
-            rf"language_backbone/bert/qv_layer_{i}",
+            rf"{ob}/qv_layer_{i}",
             f"{lb}.encoder.qv_layer.{i}",
         )
     for i in range(2):
-        p = rf"language_backbone/bert/pre_select/layers_{i}"
+        p = rf"{ob}/pre_select/layers_{i}"
         q = f"{lb}.pre_select.layers.{i}"
         r += [
             (p + r"/image_condition/norm/scale", q + ".image_condition.norm.weight", _ident),
@@ -310,16 +327,160 @@ def build_rule_table():
     return {our: (theirs, tf) for our, theirs, tf in rules}
 
 
-def import_glip_checkpoint(params, state: Dict[str, np.ndarray], strict: bool = False):
-    """Fill the flax param tree from a reference state dict.
+def _gdino_rules(enc_layers: int = 6, dec_layers: int = 6):
+    """Rule table for `groundingdino_swint_ogc.pth` / MQ-GroundingDINO naming
+    (groundingdino_new/models/GroundingDINO/groundingdino.py:130-288,
+    transformer.py:157-845, bertwarper.py:26-46):
+
+      backbone.0.*                    Joiner[0] = Swin (swin_transformer.py)
+      bert.*                          BertModelWarper re-attaches embeddings/
+                                      encoder/pre_select under the same names
+      feat_map.*                      text projection (groundingdino.py:191)
+      input_proj.{i}.{0,1}.*          1x1/3x3 conv + GroupNorm (:199-229)
+      transformer.level_embed / tgt_embed / enc_output(_norm) /
+        enc_out_bbox_embed            (transformer.py:157-178,:267)
+      transformer.encoder.{layers,text_layers,fusion_layers}.{i}.*
+      transformer.decoder.layers.{i}.* / norm / ref_point_head
+      bbox_embed.{i}.layers.{j}.*     per-layer box MLPs (shared when
+                                      dec_pred_bbox_embed_share, :247-254)
+
+    torch MultiheadAttention in_proj weights are split into our separate
+    q/k/v Dense kernels. Rule values may be a tuple of candidate reference
+    keys; the first one present in the state dict wins.
+    """
+    r = []
+    r += _swin_rules(our="backbone", b="backbone.0")
+    r += _bert_rules(ob="language_backbone/bert", lb="bert")
+    r += [
+        (r"feat_map/kernel", "feat_map.weight", _t_linear),
+        (r"feat_map/bias", "feat_map.bias", _ident),
+        (r"level_embed", "transformer.level_embed", _ident),
+        (r"tgt_embed", "transformer.tgt_embed.weight", _ident),
+        (r"enc_output/kernel", "transformer.enc_output.weight", _t_linear),
+        (r"enc_output/bias", "transformer.enc_output.bias", _ident),
+        (r"enc_output_norm/scale", "transformer.enc_output_norm.weight", _ident),
+        (r"enc_output_norm/bias", "transformer.enc_output_norm.bias", _ident),
+        (r"ref_point_head/layers_0/kernel",
+         "transformer.decoder.ref_point_head.layers.0.weight", _t_linear),
+        (r"ref_point_head/layers_0/bias",
+         "transformer.decoder.ref_point_head.layers.0.bias", _ident),
+        (r"ref_point_head/layers_1/kernel",
+         "transformer.decoder.ref_point_head.layers.1.weight", _t_linear),
+        (r"ref_point_head/layers_1/bias",
+         "transformer.decoder.ref_point_head.layers.1.bias", _ident),
+        (r"dec_norm/scale", "transformer.decoder.norm.weight", _ident),
+        (r"dec_norm/bias", "transformer.decoder.norm.bias", _ident),
+    ]
+    for i in range(4):
+        r += [
+            (rf"input_proj_{i}_conv/kernel", f"input_proj.{i}.0.weight", _t_conv),
+            (rf"input_proj_{i}_conv/bias", f"input_proj.{i}.0.bias", _ident),
+            (rf"input_proj_{i}_gn/scale", f"input_proj.{i}.1.weight", _ident),
+            (rf"input_proj_{i}_gn/bias", f"input_proj.{i}.1.bias", _ident),
+        ]
+    for j in range(3):
+        r += [
+            (rf"enc_out_bbox_embed/layers_{j}/kernel",
+             f"transformer.enc_out_bbox_embed.layers.{j}.weight", _t_linear),
+            (rf"enc_out_bbox_embed/layers_{j}/bias",
+             f"transformer.enc_out_bbox_embed.layers.{j}.bias", _ident),
+        ]
+
+    def msda(our_prefix, their_prefix):
+        rr = []
+        for mod in ("value_proj", "sampling_offsets", "attention_weights", "output_proj"):
+            rr += [
+                (f"{our_prefix}/{mod}/kernel", f"{their_prefix}.{mod}.weight", _t_linear),
+                (f"{our_prefix}/{mod}/bias", f"{their_prefix}.{mod}.bias", _ident),
+            ]
+        return rr
+
+    def mha(our_prefix, their_prefix, names=("q", "k", "v", "out")):
+        rr = []
+        for idx, n in enumerate(names[:3]):
+            rr += [
+                (f"{our_prefix}/{n}/kernel", f"{their_prefix}.in_proj_weight", _t_inproj_w(idx)),
+                (f"{our_prefix}/{n}/bias", f"{their_prefix}.in_proj_bias", _t_inproj_b(idx)),
+            ]
+        rr += [
+            (f"{our_prefix}/{names[3]}/kernel", f"{their_prefix}.out_proj.weight", _t_linear),
+            (f"{our_prefix}/{names[3]}/bias", f"{their_prefix}.out_proj.bias", _ident),
+        ]
+        return rr
+
+    def ln_ffn(our_prefix, their_prefix, norms):
+        rr = []
+        for n in norms:
+            rr += [
+                (f"{our_prefix}/{n}/scale", f"{their_prefix}.{n}.weight", _ident),
+                (f"{our_prefix}/{n}/bias", f"{their_prefix}.{n}.bias", _ident),
+            ]
+        for lin in ("linear1", "linear2"):
+            rr += [
+                (f"{our_prefix}/{lin}/kernel", f"{their_prefix}.{lin}.weight", _t_linear),
+                (f"{our_prefix}/{lin}/bias", f"{their_prefix}.{lin}.bias", _ident),
+            ]
+        return rr
+
+    for i in range(enc_layers):
+        enc = f"transformer.encoder.layers.{i}"
+        r += msda(f"enc_layer_{i}/self_attn", f"{enc}.self_attn")
+        r += ln_ffn(f"enc_layer_{i}", enc, ("norm1", "norm2"))
+
+        txt = f"transformer.encoder.text_layers.{i}"
+        r += mha(f"enc_text_{i}", f"{txt}.self_attn")
+        r += ln_ffn(f"enc_text_{i}", txt, ("norm1", "norm2"))
+
+        fus = f"transformer.encoder.fusion_layers.{i}"
+        r += [
+            (rf"enc_fusion_{i}/gamma_v", f"{fus}.gamma_v", _ident),
+            (rf"enc_fusion_{i}/gamma_l", f"{fus}.gamma_l", _ident),
+            (rf"enc_fusion_{i}/layer_norm_v/scale", f"{fus}.layer_norm_v.weight", _ident),
+            (rf"enc_fusion_{i}/layer_norm_v/bias", f"{fus}.layer_norm_v.bias", _ident),
+            (rf"enc_fusion_{i}/layer_norm_l/scale", f"{fus}.layer_norm_l.weight", _ident),
+            (rf"enc_fusion_{i}/layer_norm_l/bias", f"{fus}.layer_norm_l.bias", _ident),
+        ]
+        for proj in ("v_proj", "l_proj", "values_v_proj", "values_l_proj",
+                     "out_v_proj", "out_l_proj"):
+            r += [
+                (rf"enc_fusion_{i}/attn/{proj}/kernel", f"{fus}.attn.{proj}.weight", _t_linear),
+                (rf"enc_fusion_{i}/attn/{proj}/bias", f"{fus}.attn.{proj}.bias", _ident),
+            ]
+
+    for i in range(dec_layers):
+        dec = f"transformer.decoder.layers.{i}"
+        r += mha(f"dec_layer_{i}", f"{dec}.self_attn",
+                 ("sa_q", "sa_k", "sa_v", "sa_out"))
+        r += mha(f"dec_layer_{i}", f"{dec}.ca_text",
+                 ("ca_text_q", "ca_text_k", "ca_text_v", "ca_text_out"))
+        r += msda(f"dec_layer_{i}/cross_attn", f"{dec}.cross_attn")
+        r += ln_ffn(f"dec_layer_{i}", dec, ("norm1", "norm2", "norm3", "catext_norm"))
+        for j in range(3):
+            r += [
+                (rf"bbox_embed_{i}/layers_{j}/kernel",
+                 (f"bbox_embed.{i}.layers.{j}.weight", f"bbox_embed.0.layers.{j}.weight"),
+                 _t_linear),
+                (rf"bbox_embed_{i}/layers_{j}/bias",
+                 (f"bbox_embed.{i}.layers.{j}.bias", f"bbox_embed.0.layers.{j}.bias"),
+                 _ident),
+            ]
+    return r
+
+
+def build_gdino_rule_table(enc_layers: int = 6, dec_layers: int = 6):
+    return {our: (theirs, tf) for our, theirs, tf in _gdino_rules(enc_layers, dec_layers)}
+
+
+def _import_with_rules(params, state, rules, strict: bool = False):
+    """Fill a flax param tree from a reference state dict with a rule table.
 
     Returns (new_params, report) where report lists matched / missing /
-    unused keys (the model_serialization.py logging equivalent).
+    unused keys (the model_serialization.py logging equivalent). A rule's
+    reference key may be a tuple of candidates; the first present wins.
     """
     import jax
 
     state = strip_prefixes(state)
-    rules = build_rule_table()
 
     matched, missing = [], []
     used = set()
@@ -331,8 +492,11 @@ def import_glip_checkpoint(params, state: Dict[str, np.ndarray], strict: bool = 
         if rule is None:
             missing.append(name)
             return leaf
-        ref_key, tf = rule
-        if ref_key not in state:
+        ref_keys, tf = rule
+        if isinstance(ref_keys, str):
+            ref_keys = (ref_keys,)
+        ref_key = next((k for k in ref_keys if k in state), None)
+        if ref_key is None:
             missing.append(name)
             return leaf
         val = tf(state[ref_key]).astype(np.float32)
@@ -349,3 +513,18 @@ def import_glip_checkpoint(params, state: Dict[str, np.ndarray], strict: bool = 
     if strict and missing:
         raise KeyError(f"{len(missing)} parameters not found: {missing[:20]}")
     return new_params, report
+
+
+def import_glip_checkpoint(params, state: Dict[str, np.ndarray], strict: bool = False):
+    """GLIP/MQ-GLIP .pth -> flax param tree (module.backbone.body naming)."""
+    return _import_with_rules(params, state, build_rule_table(), strict)
+
+
+def import_gdino_checkpoint(
+    params, state: Dict[str, np.ndarray], strict: bool = False,
+    enc_layers: int = 6, dec_layers: int = 6,
+):
+    """groundingdino_swint_ogc.pth / MQ-GroundingDINO .pth -> flax tree."""
+    return _import_with_rules(
+        params, state, build_gdino_rule_table(enc_layers, dec_layers), strict
+    )
