@@ -360,6 +360,8 @@ def default_config() -> CfgNode:
     c.TEST.TH = 0.6
     c.TEST.PRE_NMS_TOP_N = 1000
     c.TEST.SELECT_CLASSES = ()
+    # VOC AP protocol (evaluation/voc/voc_eval.py use_07_metric)
+    c.TEST.VOC_USE_07_METRIC = False
 
     # ---- MQ-Det vision query block (reference: defaults.py:899-938) ------
     c.VISION_QUERY = CfgNode()

@@ -348,6 +348,10 @@ class PascalVOCDataset:
             self.ids = [line.strip() for line in f if line.strip()]
         self.class_to_ind = {c: i for i, c in enumerate(VOC_CLASSES)}
         self.ind_to_class = {i: c for i, c in enumerate(VOC_CLASSES) if i > 0}
+        # run_inference surface (category ids are already contiguous; VOC has
+        # no federated negative-category annotations)
+        self.cat_id_to_contiguous = {i: i for i in self.ind_to_class}
+        self.img_neg_cats: Dict[str, Tuple[int, ...]] = {}
 
     def __len__(self):
         return len(self.ids)

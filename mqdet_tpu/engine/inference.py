@@ -50,6 +50,14 @@ class ChunkedEvaluationPlan:
             import json as _json
 
             cap_prompt = _json.loads(cap_prompt) if cap_prompt else None
+        if cap_prompt is None and cfg.GLIPKNOW.KNOWLEDGE_FILE:
+            # GLIPKNOW knowledge expansion (generalized_vl_rcnn_new.py:521-666):
+            # clean_name + ": <knowledge>" suffix per class, span on the name
+            from mqdet_tpu.data.knowledge import knowledge_caption_prompts
+
+            cap_prompt = knowledge_caption_prompts(
+                cfg, [dataset.ind_to_class[l] for l in all_labels]
+            )
         self.chunks = G.chunk_classes(all_labels, chunk_size)
         label_pos = {l: i for i, l in enumerate(all_labels)}
         self.bundles = [

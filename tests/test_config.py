@@ -92,3 +92,21 @@ def test_frozen_patterns_and_control_prob():
         control_probabilities=(1.0, 0.0, 0.0, 0.0),
     )
     assert len(negs) == 1
+
+
+def test_all_shipped_configs_parse():
+    """Every yaml under configs/ must merge cleanly into the default tree
+    (reference ships 4 pretrain configs incl. mq-glip-t_coco.yaml)."""
+    import glob
+    import os
+
+    from mqdet_tpu.core.config import default_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = glob.glob(os.path.join(root, "**", "*.yaml"), recursive=True)
+    assert len(files) >= 60  # 4 pretrain + 8 eval + 13 + 36 odinw + extras
+    names = {os.path.basename(f) for f in files}
+    assert "mq-glip-t_coco.yaml" in names
+    for f in files:
+        cfg = default_config()
+        cfg.merge_from_file(f)

@@ -29,3 +29,38 @@ def test_wiki_and_gpt3():
 
 def test_no_knowledge_passthrough():
     assert construct_knowledge_captions(["a", "b"], None) == ["a", "b"]
+
+
+def test_glipknow_expands_eval_prompts(tmp_path):
+    """GLIPKNOW.KNOWLEDGE_FILE must reach the eval prompt pipeline: the
+    ChunkedEvaluationPlan caption carries the knowledge suffix while the
+    positive-map span stays on the clean class name (reference forward path
+    generalized_vl_rcnn_new.py:521-666)."""
+    import yaml
+
+    from mqdet_tpu.data.tokenizer import get_tokenizer
+    from mqdet_tpu.engine.inference import ChunkedEvaluationPlan
+    from mqdet_tpu.utils.builders import tiny_test_config
+
+    (tmp_path / "know.yaml").write_text(yaml.safe_dump(KNOW))
+    cfg = tiny_test_config()
+    cfg.GLIPKNOW.KNOWLEDGE_FILE = str(tmp_path / "know.yaml")
+    cfg.GLIPKNOW.KNOWLEDGE_TYPE = "def_wiki"
+    cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN = 64
+
+    class DS:
+        ind_to_class = {1: "cat", 2: "dog"}
+
+    plan = ChunkedEvaluationPlan(cfg, DS(), get_tokenizer(), selector=None)
+    cap = plan.bundles[0].caption
+    assert "a small domesticated felid." in cap
+    assert "a domesticated canid." in cap
+    # the span (all_map support) covers only the class-name tokens, not the
+    # knowledge suffix: "cat" is 1 wordpiece vs the long suffix
+    row = plan.bundles[0].all_map[0]
+    assert 0 < (row > 0).sum() <= 2
+
+    # without a knowledge file the caption is the plain class list
+    cfg2 = tiny_test_config()
+    plan2 = ChunkedEvaluationPlan(cfg2, DS(), get_tokenizer(), selector=None)
+    assert "felid" not in plan2.bundles[0].caption

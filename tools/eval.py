@@ -47,11 +47,8 @@ def main():
     import jax.numpy as jnp
 
     from mqdet_tpu.data.tokenizer import get_tokenizer
-    from mqdet_tpu.engine.evaluator import (
-        DetectionEvaluator,
-        check_expected_results,
-    )
-    from mqdet_tpu.engine.inference import run_inference
+    from mqdet_tpu.engine.evaluator import check_expected_results
+    from mqdet_tpu.engine.eval_dispatch import run_evaluation
     from mqdet_tpu.io.torch_import import import_glip_checkpoint, load_torch_state_dict
     from mqdet_tpu.io.checkpoints import load_params_npz
     from mqdet_tpu.mq.bank import QueryBank
@@ -104,27 +101,27 @@ def main():
             max_images=args.max_images,
         )
 
-    style = "lvis_fixed" if (args.lvis or "lvis" in cfg.DATASETS.TEST[0]) else "coco"
-    evaluator = DetectionEvaluator(
-        style=style,
-        max_dets=cfg.MODEL.ATSS.DETECTIONS_PER_IMG,
-    )
     import contextlib
 
     from mqdet_tpu.utils.profiling import trace
 
     prof = trace(args.profile_dir) if args.profile_dir else contextlib.nullcontext()
     with prof:
-        results = run_inference(
+        # protocol dispatch by dataset type (COCO / LVIS-fixed / VOC /
+        # phrase grounding), reference data/datasets/evaluation/__init__.py
+        results = run_evaluation(
             cfg, model, params, dataset, tokenizer, selector,
-            evaluator=evaluator, max_images=args.max_images,
+            max_images=args.max_images, dataset_name=cfg.DATASETS.TEST[0],
+            force_lvis=args.lvis,
         )
     print({k: v for k, v in results.items() if not isinstance(v, dict)})
 
     os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
     with open(os.path.join(cfg.OUTPUT_DIR, "bbox.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        keys = [k for k in ("AP", "AP50", "AP75", "APr", "APc", "APf") if k in results]
+        preferred = ("AP", "AP50", "AP75", "APr", "APc", "APf", "mAP",
+                     "recall@1", "recall@5", "recall@10")
+        keys = [k for k in preferred if k in results]
         w.writerow(keys)
         w.writerow([f"{results[k]:.4f}" for k in keys])
 
