@@ -230,14 +230,17 @@ class FusionLayer(nn.Module):
     def __call__(self, v, l, mask_l=None, deterministic=True):
         gamma_v = self.param("gamma_v", nn.initializers.constant(self.init_value), (self.v_dim,))
         gamma_l = self.param("gamma_l", nn.initializers.constant(self.init_value), (self.l_dim,))
+        # NOTE: unlike GLIP's BiAttentionBlock (fuse_helper.py, residual on
+        # the raw inputs), GDINO's residual base is the NORMALIZED features
+        # (fuse_modules.py:287-295: v = LN(v); ... v = v + gamma*dv)
         vn = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
         ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             v_dim=self.v_dim, l_dim=self.l_dim, embed_dim=self.embed_dim,
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
         )(vn, ln, mask_l, deterministic)
-        v = v + gamma_v.astype(dv.dtype) * dv
-        l = l + gamma_l.astype(dl.dtype) * dl
+        v = vn + gamma_v.astype(dv.dtype) * dv
+        l = ln + gamma_l.astype(dl.dtype) * dl
         return v, l
 
 
