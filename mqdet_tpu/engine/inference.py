@@ -117,8 +117,18 @@ def run_inference(
 
     plan = ChunkedEvaluationPlan(cfg, dataset, tokenizer, selector)
     transform = EvalTransform(cfg)
-    bucket = tuple(cfg.TPU.IMAGE_BUCKETS[0])
-    encode_fn, head_fn = make_split_predict_fns(model, bucket, cfg)
+
+    # per-bucket compiled fns, created lazily: EvalTransform picks the
+    # smallest TPU.IMAGE_BUCKETS entry that fits each resized image, and
+    # the anchor grid baked into the head is bucket-specific
+    bucket_fns = {}
+
+    def get_fns(bucket):
+        if bucket not in bucket_fns:
+            bucket_fns[bucket] = make_split_predict_fns(model, bucket, cfg)
+        return bucket_fns[bucket]
+
+    encode_fn, head_fn = get_fns(tuple(cfg.TPU.IMAGE_BUCKETS[0]))
 
     cp = max(1, cfg.TEST.CHUNK_PARALLELISM)
     n_chunks = len(plan)
@@ -190,6 +200,7 @@ def run_inference(
         """One full chunked pass over `img` with transform `tfm` ->
         (boxes, scores, labels) in the original image frame."""
         padded, (oh, ow), (sy, sx) = tfm(img)
+        encode_fn, head_fn = get_fns(padded.shape[:2])
         images = jnp.asarray(padded[None])
         feats = encode_fn(params, images)
         sizes = jnp.asarray([[oh, ow]] * cp, jnp.float32)
@@ -294,7 +305,8 @@ def run_inference(
     if cfg.VISION_QUERY.RETURN_ATTN_GATE_VALUE and use_q and len(ids):
         g0 = groups[0]
         padded0, _, _ = transform(dataset.load_image(ids[0]))
-        feats0 = encode_fn(params, jnp.asarray(padded0[None]))
+        encode0, _ = get_fns(padded0.shape[:2])
+        feats0 = encode0(params, jnp.asarray(padded0[None]))
         _, inter = model.apply(
             params,
             list(feats0),

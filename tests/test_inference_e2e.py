@@ -154,3 +154,112 @@ def test_extract_and_online_update(synthetic_coco):
     feats = bank.get(1)
     assert feats.shape[-1] == cfg.MODEL.BACKBONE.OUT_CHANNELS
     assert np.isfinite(feats).all()
+
+
+def _fake_fns_factory(net_dets_by_bucket):
+    """A make_split_predict_fns stand-in whose head emits fixed detections
+    (network-frame) for chunk slot row 0, regardless of features."""
+    import jax.numpy as jnp
+
+    from mqdet_tpu.core.detections import Detections
+
+    created = []
+
+    def fake_make(model, bucket, cfg):
+        created.append(tuple(bucket))
+        boxes, scores, labels = net_dets_by_bucket(tuple(bucket))
+        n = len(scores)
+        cp = max(1, cfg.TEST.CHUNK_PARALLELISM)
+
+        def encode_fn(params, images):
+            return (jnp.zeros((1, 1, 1, 1)),)
+
+        def head_fn(params, feats, ii, am, q, qm, agg, sizes):
+            z = np.zeros((cp, n), np.float32)
+            b = np.zeros((cp, n, 4), np.float32)
+            l = np.zeros((cp, n), np.int32)
+            v = np.zeros((cp, n), bool)
+            b[0], z[0], l[0], v[0] = boxes, scores, labels, True
+            return Detections(
+                boxes=jnp.asarray(b), scores=jnp.asarray(z),
+                labels=jnp.asarray(l), valid=jnp.asarray(v),
+            )
+
+        return encode_fn, head_fn
+
+    return fake_make, created
+
+
+def test_run_inference_perfect_detector(synthetic_coco, monkeypatch):
+    """A detector that emits exactly the GT boxes (in network coords) must
+    come out of the FULL pipeline — plan, chunk groups, scale-back to image
+    coords, slot->label mapping, COCO evaluator — with AP == 1.0."""
+    from mqdet_tpu.data.transforms import get_resize_size
+    from mqdet_tpu.engine import inference as I
+
+    cfg = tiny_test_config()
+    cfg.TPU.IMAGE_BUCKETS = ((64, 96),)
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 80
+    cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 10
+
+    ann_file, img_dir = synthetic_coco
+    ds = CocoDetectionDataset(ann_file, img_dir)
+
+    # every image is 80x60 with the same GT layout: cat @ [5,5,25,30],
+    # dog @ [15,5,35,30] (bbox xywh [5+10j, 5, 20, 25], category j%3+1)
+    oh, ow = get_resize_size(60, 80, 48, 80)
+    sy, sx = oh / 60.0, ow / 80.0
+    gt_img = np.asarray(
+        [[5.0, 5.0, 25.0, 30.0], [15.0, 5.0, 35.0, 30.0]], np.float32
+    )
+    net_boxes = gt_img * np.asarray([sx, sy, sx, sy], np.float32)
+
+    def dets_for(bucket):
+        # single chunk of 3 classes: slots 1..3 == contiguous labels 1..3
+        return net_boxes, np.asarray([0.9, 0.8], np.float32), np.asarray([1, 2], np.int32)
+
+    fake_make, created = _fake_fns_factory(dets_for)
+    monkeypatch.setattr(I, "make_split_predict_fns", fake_make)
+
+    results = I.run_inference(
+        cfg, model=None, params=None, dataset=ds,
+        tokenizer=get_tokenizer(), selector=None, verbose=False,
+    )
+    assert results["AP"] == pytest.approx(1.0)
+    assert results["AP50"] == pytest.approx(1.0)
+    assert created  # the pipeline actually went through our fns
+
+
+def test_run_inference_multibucket(synthetic_coco, monkeypatch):
+    """With two buckets, images resolve to the best-fit bucket and the
+    pipeline builds compiled fns for exactly the buckets used."""
+    from mqdet_tpu.engine import inference as I
+
+    cfg = tiny_test_config()
+    # 80x60 at min48/max80 resizes to (48, 64): fits the SECOND bucket
+    cfg.TPU.IMAGE_BUCKETS = ((96, 128), (48, 64))
+    cfg.INPUT.MIN_SIZE_TEST = 48
+    cfg.INPUT.MAX_SIZE_TEST = 80
+    cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 10
+
+    ann_file, img_dir = synthetic_coco
+    ds = CocoDetectionDataset(ann_file, img_dir)
+
+    def dets_for(bucket):
+        return (
+            np.zeros((1, 4), np.float32),
+            np.asarray([0.5], np.float32),
+            np.asarray([1], np.int32),
+        )
+
+    fake_make, created = _fake_fns_factory(dets_for)
+    monkeypatch.setattr(I, "make_split_predict_fns", fake_make)
+
+    I.run_inference(
+        cfg, model=None, params=None, dataset=ds,
+        tokenizer=get_tokenizer(), selector=None, verbose=False,
+    )
+    # default bucket is built eagerly; the image bucket (48, 64) lazily
+    assert (48, 64) in created
+    assert created.count((48, 64)) == 1  # cached, not rebuilt per image
