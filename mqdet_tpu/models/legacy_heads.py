@@ -159,10 +159,36 @@ def build_rpn_head(cfg, dtype=jnp.float32):
     if arch == "FCOS":
         return FCOSHead(num_classes=ncls, dtype=dtype)
     if arch == "RETINA":
-        return RetinaHead(num_classes=ncls, dtype=dtype)
+        return RetinaHead(
+            num_classes=ncls,
+            num_anchors=len(cfg.MODEL.RPN.ASPECT_RATIOS),
+            dtype=dtype,
+        )
     if arch == "ATSS":
         return ATSSHead(num_classes=ncls, dtype=dtype)
     raise ValueError(
         f"RPN_ARCHITECTURE {arch!r}: VLDYHEAD is built by the MQGLIP "
         "meta-architecture; legacy heads: FCOS | RETINA | ATSS"
+    )
+
+
+class LegacyDetector(nn.Module):
+    """Language-free GeneralizedRCNN twin for the legacy RPN entries:
+    backbone pyramid -> legacy head maps (modeling/detector/
+    generalized_rcnn.py with rpn_only=True). Losses / postprocessing live
+    in engine/legacy_losses.py (build_legacy_machinery)."""
+
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, images: jnp.ndarray, deterministic: bool = True):
+        feats = self.backbone(images, deterministic=deterministic)
+        return self.head(list(feats))
+
+
+def build_legacy_detector(cfg, dtype=jnp.float32) -> LegacyDetector:
+    from mqdet_tpu.models.backbones import build_backbone
+
+    return LegacyDetector(
+        backbone=build_backbone(cfg), head=build_rpn_head(cfg, dtype)
     )
