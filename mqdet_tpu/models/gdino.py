@@ -32,7 +32,7 @@ from mqdet_tpu.core.boxes import cxcywh_to_xyxy
 from mqdet_tpu.models.bert import LanguageBackbone
 from mqdet_tpu.models.fusion import BiMultiHeadAttention
 from mqdet_tpu.models.swin import SwinTransformer
-from mqdet_tpu.ops.ms_deform_attn import ms_deform_attn_sample
+from mqdet_tpu.ops.ms_deform_attn import ms_deform_attn
 
 Dtype = Any
 
@@ -173,7 +173,7 @@ class MSDeformAttn(nn.Module):
                 reference_points[:, :, None, :, None, :2]
                 + offsets / npt * reference_points[:, :, None, :, None, 2:] * 0.5
             )
-        out = ms_deform_attn_sample(v, spatial_shapes, loc, attn)
+        out = ms_deform_attn(v, spatial_shapes, loc, attn)
         return nn.Dense(self.embed_dim, dtype=self.dtype, name="output_proj")(
             out.astype(self.dtype)
         )

@@ -13,6 +13,8 @@ offsets are local) is the planned fast path.
 """
 from __future__ import annotations
 
+import functools
+import os
 from typing import List, Sequence, Tuple
 
 import jax
@@ -74,3 +76,62 @@ def ms_deform_attn_sample(
         start += h * w
 
     return outputs.reshape(b, q, nh * hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _encoder_pallas_diff(spatial_shapes, interpret, value, loc, attn):
+    from mqdet_tpu.ops.pallas.msda_pallas import ms_deform_attn_encoder
+
+    return ms_deform_attn_encoder(
+        value, spatial_shapes, loc, attn, interpret=interpret
+    )
+
+
+def _encoder_pallas_fwd(spatial_shapes, interpret, value, loc, attn):
+    return _encoder_pallas_diff(spatial_shapes, interpret, value, loc, attn), (
+        value, loc, attn,
+    )
+
+
+def _encoder_pallas_bwd(spatial_shapes, interpret, res, g):
+    # gradient through the (unclipped) composite: matches the kernel
+    # everywhere offsets stay inside the window, the same contract as the
+    # DCNv2 window kernel (ops/pallas/deform_conv_pallas.py)
+    value, loc, attn = res
+    _, vjp = jax.vjp(
+        lambda v, l, a: ms_deform_attn_sample(v, spatial_shapes, l, a),
+        value, loc, attn,
+    )
+    return vjp(g)
+
+
+_encoder_pallas_diff.defvjp(_encoder_pallas_fwd, _encoder_pallas_bwd)
+
+
+def ms_deform_attn(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+) -> jnp.ndarray:
+    """Implementation dispatch (MQDET_MSDA_IMPL=pallas|gather|
+    pallas_interpret, default pallas): the banded window kernel
+    (ops/pallas/msda_pallas.py) serves the encoder path — queries are the
+    pyramid pixels — on TPU backends; the decoder path (few queries,
+    arbitrary positions) and CPU runs use the gather composite.
+    pallas_interpret forces the kernel in interpreter mode on any backend
+    (testing only)."""
+    impl = os.environ.get("MQDET_MSDA_IMPL", "pallas")
+    q = sampling_locations.shape[1]
+    s = value.shape[1]
+    is_encoder = q == s == sum(h * w for h, w in spatial_shapes)
+    on_accel = jax.default_backend() != "cpu" or impl == "pallas_interpret"
+    if impl.startswith("pallas") and is_encoder and on_accel:
+        return _encoder_pallas_diff(
+            tuple((int(h), int(w)) for h, w in spatial_shapes),
+            impl == "pallas_interpret",
+            value, sampling_locations, attention_weights,
+        )
+    return ms_deform_attn_sample(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )

@@ -1,0 +1,366 @@
+"""Pallas TPU kernel: multi-scale deformable attention (encoder path).
+
+The hot op of the GroundingDINO encoder (reference CUDA:
+groundingdino_new/models/GroundingDINO/csrc_groundingdino/MsDeformAttn/
+ms_deform_im2col_cuda.cuh; pure-torch semantics ms_deform_attn.py:93-134):
+every pyramid pixel attends to nh*L*P = 128 bilinear samples spread over the
+4-level pyramid. As an XLA composite that is ~11M scalar gathers per
+encoder layer — the single worst op class on TPU.
+
+TPU-first reformulation (no per-element gather):
+
+1. **Base-aligned resample.** For query level lq sampling a coarser-or-equal
+   level lv with EXACT integer ratio k = Hq/Hv, define (host-side, one cheap
+   XLA gather) A[y, x] = V[b0(y), b0(x)] on the query grid, where
+   b0(y) = floor((y+.5)/k - .5) is the offset-free base cell. Because
+   b0(y + k*e) = b0(y) + e for integer e, EVERY bilinear neighbor
+   V[b0(y)+ey, b0(x)+ex] is the uniform shift A[y + k*ey, x + k*ex]: the
+   data-dependent gather becomes a STATIC window of dense shifted reads.
+
+2. **Window-clipped sampling.** Per (query, head, level, point) the kernel
+   needs rel = sampling_loc_in_lv_pixels - b0(query), clipped to the window
+   [-R, R+1] (same clipped-offset contract as the DCNv2 kernel,
+   ops/pallas/deform_conv_pallas.py; R per level via `radius_for_k`). For
+   each window cell (ey, ex) the per-head weight is
+
+       w[q, h] = sum_p attn[q,h,p] * hat(rel_y - ey) * hat(rel_x - ex)
+
+   computed on the VPU over (N, nh*P) lanes, folded to per-channel scale via
+   one tiny (nh*P, C) 0/1 matmul (sums over P AND broadcasts head->channels
+   in one MXU op), then FMA'd with the shifted band slice:
+
+       out[q, :] += w_c[q, :] * A_band[y_q + k*ey, x_q + k*ex, :]
+
+3. **Banded streaming.** Per query-row block the kernel DMAs only the band
+   of A rows the window can touch (per level, reusing one VMEM scratch
+   sequentially), so HBM traffic is ~one read of each level per call.
+
+Pairs where lv is FINER than lq (8% of encoder samples) and the decoder
+path (queries are not pixels) stay on the gather composite
+(ops/ms_deform_attn.py); `ms_deform_attn_encoder` sums both parts.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mqdet_tpu.ops.ms_deform_attn import _bilinear_sample_nhwc
+
+# Window radius (in lv pixels) by query/value resolution ratio. R=4 covers
+# the reference grid_init offset pattern exactly (ms_deform_attn.py ~200:
+# per-point magnitude up to num_points=4 level-pixels), so at init the
+# kernel is bit-equivalent to the composite. Ratios ABSENT from this table
+# (k >= 4, i.e. the two coarsest levels) route to the gather composite:
+# their value tables are tiny (high gather locality) while a window wide
+# enough to stay exact there would blow the VMEM band budget.
+DEFAULT_RADIUS_FOR_K = {1: 4, 2: 4}
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _base_cells(n_query: int, k: int, n_value: int) -> np.ndarray:
+    """b0(y) = floor((y+0.5)/k - 0.5) per query coordinate (may be -1)."""
+    return np.floor((np.arange(n_query) + 0.5) / k - 0.5).astype(np.int32)
+
+
+def _kernel(
+    rely_ref,   # (1, N, LANES) f32 rel_y per (lv-major, head, point) lane
+    relx_ref,   # (1, N, LANES)
+    attn_ref,   # (1, N, LANES) softmaxed weights (pallas-covered lanes only)
+    gc_ref,     # (nhp, C) f32 0/1: sums over P, broadcasts head -> channels
+    a_hbm,      # (Lp, B, Hpad, Wband, C) base-aligned maps, HBM
+    out_ref,    # (1, N, C) f32
+    band,       # scratch VMEM (band_rows_max, Wband, C)
+    sem,        # DMA semaphore
+    *,
+    br: int,
+    wp2: int,
+    c: int,
+    nhp: int,
+    ks: Tuple[int, ...],
+    rs: Tuple[int, ...],
+    pad_xg: int,
+    pad_yg: int,
+):
+    b = pl.program_id(0)
+    blk = pl.program_id(1)
+    n = br * wp2
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    for li, (k, r) in enumerate(zip(ks, rs)):
+        rows_lv = br + 2 * k * (r + 1)
+        # band row 0 = global query row blk*br - k*(r+1); A carries pad_yg
+        # top zero-rows so the source index stays >= 0
+        src_r0 = pad_yg + blk * br - k * (r + 1)
+        dma = pltpu.make_async_copy(
+            a_hbm.at[li, b, pl.ds(src_r0, rows_lv)],
+            band.at[pl.ds(0, rows_lv)],
+            sem,
+        )
+        dma.start()
+
+        ry = rely_ref[0, :, li * nhp : (li + 1) * nhp]   # (N, nhp)
+        rx = relx_ref[0, :, li * nhp : (li + 1) * nhp]
+        at = attn_ref[0, :, li * nhp : (li + 1) * nhp]
+        dma.wait()
+
+        win = 2 * r + 2
+
+        def cell(idx, _, k=k, r=r, win=win, ry=ry, rx=rx, at=at):
+            ey = idx // win - r
+            ex = idx % win - r
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - ey.astype(jnp.float32)))
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - ex.astype(jnp.float32)))
+            w = at * hy * hx                              # (N, nhp)
+            wc = jax.lax.dot_general(
+                w, gc_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # (N, C)
+            roff = k * (r + 1) + k * ey
+            coff = pad_xg + k * ex
+            v = band[pl.ds(roff, br), pl.ds(coff, wp2), :]
+            out_ref[0] += wc * v.reshape(n, c)
+            return 0
+
+        jax.lax.fori_loop(0, win * win, cell, 0)
+
+
+def _prep_level_group(
+    value_levels: List[jnp.ndarray],     # per lv >= lq: (B, Hv, Wv, C)
+    ks: Tuple[int, ...],
+    rs: Tuple[int, ...],
+    hq: int,
+    wq: int,
+    br: int,
+    pad_xg: int,
+    pad_yg: int,
+):
+    """Stack base-aligned, zero-padded A maps: (Lp, B, Hpad, Wband, C)."""
+    b, _, _, c = value_levels[0].shape
+    n_blocks = -(-hq // br)
+    hpad = 2 * pad_yg + n_blocks * br
+    # col slices reach pad_xg + k*(r+1) + wp2 <= 2*pad_xg + round_up(wq, 8)
+    wband = _round_up(_round_up(wq, 8) + 2 * pad_xg, 8)
+    maps = []
+    for v, k in zip(value_levels, ks):
+        hv, wv = v.shape[1], v.shape[2]
+        # A is built over the EXTENDED query coordinates [-pad, hq+pad): for
+        # up to k-1 rows beyond the query grid b0(y) is still a valid value
+        # row, so zero-padding there would drop real contributions
+        ys = np.arange(-pad_yg, hpad - pad_yg)
+        xs = np.arange(-pad_xg, wband - pad_xg)
+        by = np.floor((ys + 0.5) / k - 0.5).astype(np.int32)
+        bx = np.floor((xs + 0.5) / k - 0.5).astype(np.int32)
+        vy = (by >= 0) & (by < hv)
+        vx = (bx >= 0) & (bx < wv)
+        a = v[:, np.clip(by, 0, hv - 1)][:, :, np.clip(bx, 0, wv - 1)]
+        a = jnp.where(
+            (vy[:, None] & vx[None, :])[None, :, :, None], a, 0.0
+        )
+        maps.append(a)
+    return jnp.stack(maps), hpad, wband, n_blocks
+
+
+def _rel_coords(
+    loc: jnp.ndarray,      # (B, n_query, ..., P): query axis at position 1
+    n_value: int,          # Hv or Wv
+    k: int,
+    r: int,
+    n_query: int,
+) -> jnp.ndarray:
+    """Clipped window-relative sampling coordinate per query."""
+    s = loc * n_value - 0.5
+    b0 = jnp.asarray(_base_cells(n_query, k, n_value), jnp.float32)
+    shape = [1] * loc.ndim
+    shape[1] = n_query
+    rel = s - b0.reshape(shape)
+    return jnp.clip(rel, -float(r), float(r) + 1.0)
+
+
+def ms_deform_attn_encoder(
+    value: jnp.ndarray,                  # (B, S, nh, hd)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,     # (B, S, nh, L, P, 2) queries=pixels
+    attention_weights: jnp.ndarray,      # (B, S, nh, L, P)
+    radius_for_k: Dict[int, int] | None = None,
+    pallas_query_levels: Sequence[int] = (0, 1),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Encoder MSDA: pallas window kernel for (lq, lv>=lq) pairs with exact
+    power-of-two ratios, gather composite for the rest. Returns
+    (B, S, nh*hd), numerically the composite's result with sampling
+    locations clipped to the per-level window."""
+    radius_for_k = radius_for_k or DEFAULT_RADIUS_FOR_K
+    b, s, nh, hd = value.shape
+    num_levels = len(spatial_shapes)
+    p = sampling_locations.shape[4]
+    c = nh * hd
+    nhp = nh * p
+
+    starts = np.concatenate(
+        [[0], np.cumsum([h * w for h, w in spatial_shapes])]
+    )
+    assert starts[-1] == s, "encoder path requires queries == pixels"
+
+    # exact-ratio check per (lq, lv>=lq); non-exact pairs -> gather
+    def ratio(hq_, wq_, hv_, wv_):
+        if hv_ == 0 or hq_ % hv_ or wq_ % wv_:
+            return None
+        k = hq_ // hv_
+        if wq_ // wv_ != k or k not in radius_for_k:
+            return None
+        return k
+
+    value_maps = [
+        value[:, starts[i] : starts[i + 1]].reshape(
+            b, spatial_shapes[i][0], spatial_shapes[i][1], c
+        )
+        for i in range(num_levels)
+    ]
+
+    out_parts = []
+    gather_mask = np.ones((num_levels, num_levels), bool)  # [lq, lv]
+
+    for lq in range(num_levels):
+        if lq not in pallas_query_levels:
+            continue
+        hq, wq = spatial_shapes[lq]
+        lvs, ks, rs = [], [], []
+        for lv in range(lq, num_levels):
+            k = ratio(hq, wq, *spatial_shapes[lv])
+            if k is not None:
+                lvs.append(lv)
+                ks.append(k)
+                rs.append(radius_for_k[k])
+        if not lvs:
+            continue
+        for lv in lvs:
+            gather_mask[lq, lv] = False
+        lp = len(lvs)
+        lanes = lp * nhp
+        pad_g = max(k_ * (r_ + 1) for k_, r_ in zip(ks, rs))
+        br = max(8, _round_up(1024 // max(wq, 1), 8))
+        wp2 = _round_up(wq, 8)
+        a_maps, hpad, wband, n_blocks = _prep_level_group(
+            [value_maps[lv] for lv in lvs], tuple(ks), tuple(rs),
+            hq, wq, br, pad_g, pad_g,
+        )
+
+        # rel / attn packed (B, n_blocks*br, wp2, lanes) lv-major lanes
+        q0, q1 = starts[lq], starts[lq + 1]
+        loc_q = sampling_locations[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p, 2)
+        attn_q = attention_weights[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p)
+        rel_ys, rel_xs, attns = [], [], []
+        for lv, k_, r_ in zip(lvs, ks, rs):
+            hv, wv = spatial_shapes[lv]
+            rel_ys.append(
+                _rel_coords(loc_q[..., lv, :, 1], hv, k_, r_, hq)
+            )
+            rel_xs.append(
+                _rel_coords(
+                    loc_q[..., lv, :, 0].transpose(0, 2, 1, 3, 4), wv, k_,
+                    r_, wq
+                ).transpose(0, 2, 1, 3, 4)
+            )
+            attns.append(attn_q[..., lv, :])
+
+        def pack(parts):
+            x = jnp.stack(parts, axis=3)              # (B,Hq,Wq,Lp,nh,P)
+            x = x.reshape(b, hq, wq, lanes)
+            x = jnp.pad(
+                x,
+                ((0, 0), (0, n_blocks * br - hq), (0, wp2 - wq), (0, 0)),
+            )
+            return x.reshape(b, n_blocks * br * wp2, lanes)
+
+        rel_y_p, rel_x_p, attn_p = map(pack, (rel_ys, rel_xs, attns))
+
+        gc = np.zeros((nhp, c), np.float32)
+        for j in range(nhp):
+            gc[j, (j // p) * hd : (j // p + 1) * hd] = 1.0
+        band_rows_max = br + 2 * max(
+            k_ * (r_ + 1) for k_, r_ in zip(ks, rs)
+        )
+
+        n_blk = br * wp2
+        kernel = functools.partial(
+            _kernel, br=br, wp2=wp2, c=c, nhp=nhp, ks=tuple(ks),
+            rs=tuple(rs), pad_xg=pad_g, pad_yg=pad_g,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, n_blocks),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, n_blk, lanes), lambda bi, i: (bi, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_blk, lanes), lambda bi, i: (bi, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, n_blk, lanes), lambda bi, i: (bi, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (nhp, c), lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, n_blk, c), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, n_blocks * n_blk, c), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((band_rows_max, wband, c), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(rel_y_p, rel_x_p, attn_p, jnp.asarray(gc), a_maps)
+
+        out = out.reshape(b, n_blocks * br, wp2, c)[:, :hq, :wq]
+        out_parts.append((q0, q1, out.reshape(b, hq * wq, c)))
+
+    # gather fallback for uncovered (lq, lv) pairs
+    out_full = jnp.zeros((b, s, c), jnp.float32)
+    for q0, q1, part in out_parts:
+        out_full = out_full.at[:, q0:q1].add(part)
+
+    for lv in range(num_levels):
+        lqs = [
+            lq for lq in range(num_levels) if gather_mask[lq, lv]
+        ]
+        if not lqs:
+            continue
+        h, w = spatial_shapes[lv]
+        v_l = value_maps[lv].reshape(b, h, w, nh, hd)
+        v_l = v_l.transpose(0, 3, 1, 2, 4).reshape(b * nh, h, w, hd)
+        for lq in lqs:
+            q0, q1 = starts[lq], starts[lq + 1]
+            nq = q1 - q0
+            loc = sampling_locations[:, q0:q1, :, lv]    # (B, nq, nh, P, 2)
+            x = loc[..., 0] * w - 0.5
+            y = loc[..., 1] * h - 0.5
+            x = x.transpose(0, 2, 1, 3).reshape(b * nh, nq, p)
+            y = y.transpose(0, 2, 1, 3).reshape(b * nh, nq, p)
+            sampled = jax.vmap(_bilinear_sample_nhwc)(v_l, x, y)
+            wgt = attention_weights[:, q0:q1, :, lv].transpose(
+                0, 2, 1, 3
+            ).reshape(b * nh, nq, p)
+            acc = (sampled * wgt[..., None]).sum(axis=2)  # (B*nh, nq, hd)
+            acc = acc.reshape(b, nh, nq, hd).transpose(0, 2, 1, 3)
+            out_full = out_full.at[:, q0:q1].add(acc.reshape(b, nq, c))
+
+    return out_full

@@ -9,19 +9,52 @@ from mqdet_tpu.ops import deform_conv as dc
 from mqdet_tpu.ops import anchors as anch
 
 
-def test_roi_align_matches_torchvision(rng):
-    torchvision = pytest.importorskip("torchvision")
-    import torch
+def _roi_align_numpy_oracle(feat_chw, rois, scale, out_size, ratio):
+    """torchvision.ops.roi_align(aligned=True) semantics, brute force
+    (torchvision is not installed in this env; ROIAlign_cuda.cu:57-120 is
+    the primary reference)."""
+    c, h, w = feat_chw.shape
 
+    def sample(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c, np.float32)
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        ly, lx = y - y0, x - x0
+        return (
+            feat_chw[:, y0, x0] * (1 - ly) * (1 - lx)
+            + feat_chw[:, y0, x1] * (1 - ly) * lx
+            + feat_chw[:, y1, x0] * ly * (1 - lx)
+            + feat_chw[:, y1, x1] * ly * lx
+        )
+
+    out = np.zeros((len(rois), c, out_size, out_size), np.float32)
+    for r, (x1, y1, x2, y2) in enumerate(rois):
+        sx, sy = x1 * scale - 0.5, y1 * scale - 0.5
+        bw = (x2 - x1) * scale / out_size
+        bh = (y2 - y1) * scale / out_size
+        for i in range(out_size):
+            for j in range(out_size):
+                acc = np.zeros(c, np.float32)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        acc += sample(
+                            sy + (i + (iy + 0.5) / ratio) * bh,
+                            sx + (j + (ix + 0.5) / ratio) * bw,
+                        )
+                out[r, :, i, j] = acc / (ratio * ratio)
+    return out
+
+
+def test_roi_align_matches_oracle(rng):
     feat = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)  # NCHW
-    rois = np.array([[0, 2.0, 2.0, 10.0, 12.0], [0, 0.0, 0.0, 15.0, 15.0]], np.float32)
-    ref = torchvision.ops.roi_align(
-        torch.from_numpy(feat), torch.from_numpy(rois), output_size=7,
-        spatial_scale=0.5, sampling_ratio=2, aligned=True,
-    ).numpy()  # (R, C, 7, 7)
+    rois = np.array([[2.0, 2.0, 10.0, 12.0], [0.0, 0.0, 15.0, 15.0]], np.float32)
+    ref = _roi_align_numpy_oracle(feat[0], rois, 0.5, 7, 2)
 
     got = ra.roi_align(
-        jnp.asarray(feat[0].transpose(1, 2, 0)), jnp.asarray(rois[:, 1:]),
+        jnp.asarray(feat[0].transpose(1, 2, 0)), jnp.asarray(rois),
         0.5, output_size=7, sampling_ratio=2,
     )  # (R, 7, 7, C)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-4)
@@ -100,29 +133,22 @@ def test_deform_conv_stride2_shape(rng):
     assert out.shape == (2, 5, 7, 4)
 
 
-def test_deform_conv_matches_torchvision(rng):
-    torchvision = pytest.importorskip("torchvision")
-    import torch
+def test_deform_conv_matches_oracle(rng):
+    """Moderate offsets vs the brute-force numpy oracle (the large-offset
+    sweep lives in test_module_parity.py)."""
+    from test_module_parity import _dcn_numpy_oracle
 
-    x = rng.standard_normal((1, 4, 6, 7)).astype(np.float32)
-    w = rng.standard_normal((5, 4, 3, 3)).astype(np.float32) * 0.2
-    offset = (rng.standard_normal((1, 18, 6, 7)) * 0.7).astype(np.float32)
-    mask = rng.uniform(0.2, 1.0, (1, 9, 6, 7)).astype(np.float32)
+    x = rng.standard_normal((1, 6, 7, 4)).astype(np.float32)
+    w = (rng.standard_normal((3, 3, 4, 5)) * 0.2).astype(np.float32)
+    offset = (rng.standard_normal((1, 6, 7, 18)) * 0.7).astype(np.float32)
+    mask = rng.uniform(0.2, 1.0, (1, 6, 7, 9)).astype(np.float32)
+    bias = np.zeros((5,), np.float32)
 
-    ref = torchvision.ops.deform_conv2d(
-        torch.from_numpy(x), torch.from_numpy(offset), torch.from_numpy(w),
-        padding=1, mask=torch.from_numpy(mask),
-    ).numpy()
-
+    ref = _dcn_numpy_oracle(x, offset, mask, w, bias)
     got = dc.modulated_deform_conv(
-        jnp.asarray(x.transpose(0, 2, 3, 1)),
-        jnp.asarray(offset.transpose(0, 2, 3, 1)),
-        jnp.asarray(mask.transpose(0, 2, 3, 1)),
-        jnp.asarray(w.transpose(2, 3, 1, 0)),
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask), jnp.asarray(w)
     )
-    np.testing.assert_allclose(
-        np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-3
-    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3)
 
 
 def test_anchor_layout_glip():
