@@ -432,6 +432,11 @@ def default_config() -> CfgNode:
     c.TPU.IMAGE_BUCKETS = ((800, 1344),)  # static (H, W) eval buckets
     c.TPU.MAX_DETECTIONS_PRE_NMS = 1000
     c.TPU.REMAT = False
+    # DCNv2 window/Pallas paths clip sampling offsets to [-R, R] around each
+    # tap (exact when |offset| <= R). utils/calibrate.py measures the actual
+    # offset range of a loaded checkpoint and raises this (or falls back to
+    # the exact gather impl) when the clip would bite.
+    c.TPU.DEFORM_RADIUS = 2
 
     # GLIPKNOW knowledge-augmented prompts (defaults.py:887-894)
     c.GLIPKNOW = CfgNode()

@@ -68,6 +68,7 @@ class MQGLIP(nn.Module):
     use_deform: bool = True
     use_dyfuse: bool = True
     use_dyrelu: bool = True
+    deform_radius: int = 2  # TPU.DEFORM_RADIUS; see utils/calibrate.py
     early_fuse: bool = True
     use_fused_dot_product: bool = True
     # language
@@ -142,6 +143,7 @@ class MQGLIP(nn.Module):
             use_deform=cfg.MODEL.DYHEAD.USE_DFCONV,
             use_dyfuse=cfg.MODEL.DYHEAD.USE_DYFUSE,
             use_dyrelu=cfg.MODEL.DYHEAD.USE_DYRELU,
+            deform_radius=cfg.TPU.DEFORM_RADIUS,
             early_fuse=cfg.MODEL.DYHEAD.FUSE_CONFIG.EARLY_FUSE_ON,
             use_fused_dot_product=(
                 cfg.MODEL.DYHEAD.FUSE_CONFIG.USE_FUSED_FEATURES_DOT_PRODUCT
@@ -265,6 +267,7 @@ class MQGLIP(nn.Module):
             use_deform=self.use_deform,
             use_dyfuse=self.use_dyfuse,
             use_dyrelu=self.use_dyrelu,
+            deform_radius=self.deform_radius,
             early_fuse=self.early_fuse,
             use_fused_dot_product=self.use_fused_dot_product,
             dtype=self.dtype,

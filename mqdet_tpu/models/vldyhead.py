@@ -131,25 +131,27 @@ class DyConv(nn.Module):
     use_dyfuse: bool = True
     use_dyrelu: bool = True
     gn_groups: int = 16
+    deform_radius: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
-        conv_cls = DeformConvGN if self.use_deform else PlainConvGN
         # DyConv[0]: applied to level+1 (stride 1); DyConv[1]: current level;
         # DyConv[2]: level-1 (stride 2) — vldyhead.py:166-171
-        conv_hi = conv_cls(
-            self.channels, stride=1, groups=self.gn_groups, dtype=self.dtype,
-            name="dyconv_0",
-        )
-        conv_mid = conv_cls(
-            self.channels, stride=1, groups=self.gn_groups, dtype=self.dtype,
-            name="dyconv_1",
-        )
-        conv_lo = conv_cls(
-            self.channels, stride=2, groups=self.gn_groups, dtype=self.dtype,
-            name="dyconv_2",
-        )
+        def conv_cls(features, stride, name):
+            if self.use_deform:
+                return DeformConvGN(
+                    features, stride=stride, groups=self.gn_groups,
+                    radius=self.deform_radius, dtype=self.dtype, name=name,
+                )
+            return PlainConvGN(
+                features, stride=stride, groups=self.gn_groups,
+                dtype=self.dtype, name=name,
+            )
+
+        conv_hi = conv_cls(self.channels, 1, "dyconv_0")
+        conv_mid = conv_cls(self.channels, 1, "dyconv_1")
+        conv_lo = conv_cls(self.channels, 2, "dyconv_2")
 
         if self.use_deform:
             offset_conv = nn.Conv(
@@ -220,6 +222,7 @@ class VLDyHead(nn.Module):
     use_deform: bool = True
     use_dyfuse: bool = True
     use_dyrelu: bool = True
+    deform_radius: int = 2
     early_fuse: bool = True
     # FUSE_CONFIG.TYPE (vldyhead.py:381-431): MHA-B (bidirectional, the
     # GLIP/MQ-Det setting), MHA-S (text->image only), SCAN, FILM
@@ -322,6 +325,7 @@ class VLDyHead(nn.Module):
                 use_dyfuse=self.use_dyfuse,
                 use_dyrelu=self.use_dyrelu,
                 gn_groups=self.gn_groups,
+                deform_radius=self.deform_radius,
                 dtype=self.dtype,
                 name=f"dyconv_tower_{i}",
             )(visual)

@@ -34,6 +34,12 @@ def main():
         "--profile-dir", default=None,
         help="capture a jax.profiler trace of the eval loop into this dir",
     )
+    p.add_argument(
+        "--calibrate-deform", action="store_true",
+        help="measure the checkpoint's DCN offset range on one batch and "
+             "raise TPU.DEFORM_RADIUS / fall back to the exact gather impl "
+             "if the clipped window formulation would diverge",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     args = p.parse_args()
 
@@ -78,6 +84,22 @@ def main():
             print(
                 f"imported {len(report['matched'])}; missing {len(report['missing'])}"
             )
+
+    if args.calibrate_deform and cfg.MODEL.DYHEAD.USE_DFCONV:
+        from mqdet_tpu.utils.calibrate import (
+            apply_calibration,
+            calibrate_deform_radius,
+        )
+
+        calib = calibrate_deform_radius(cfg, model, params, init_args)
+        print(
+            f"deform calibration: max|offset|={calib.max_offset:.2f}px -> "
+            f"radius={calib.radius} impl={calib.impl}"
+        )
+        if apply_calibration(cfg, calib):
+            # radius is baked in at module construction: rebuild and re-graft
+            # the already-loaded params (tree structure is radius-invariant)
+            model = build_model(cfg)
 
     selector = None
     if cfg.VISION_QUERY.ENABLED and cfg.VISION_QUERY.QUERY_BANK_PATH:
