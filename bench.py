@@ -4,122 +4,202 @@ Protocol (mirrors the reference LVIS MiniVal evaluation,
 maskrcnn_benchmark/engine/inference.py:577-648): 1203 classes -> 31 prompt
 chunks of <=40 classes; every image is scored against every chunk. The
 reference runs 31 sequential batch-1 forwards per image on GPU; this build
-runs chunk-batched compiled forwards (backbone work amortized only via
-batching; text/GCP/fusion dominate the per-chunk cost).
+runs the whole (image x chunk) grid in single-dispatch compiled protocols
+(chunk-batched head, optional image batching).
 
 Reported metric: images/sec/chip for the full 31-chunk protocol, including
-decode + class-aware NMS on device. `vs_baseline` compares against the
-estimated A100 reference throughput for the same protocol (~0.25 img/s:
-31 forwards x ~130 ms batch-1 A100 GLIP-T forward; the reference publishes
-no throughput numbers — BASELINE.md). Target >= 3x => vs_baseline >= 3.
+decode + class-aware NMS on device, at the best measured operating point.
+
+`vs_baseline` derivation (the reference publishes no throughput numbers —
+BASELINE.md): the reference protocol is 31 sequential batch-1 GLIP-T
+forwards per image on an A100. Published GLIP-T end-to-end GPU latency is
+~130 ms/forward at 800x1333 (Swin-T backbone + BERT + VLDyHead + NMS);
+31 x 130 ms = ~4.0 s/image => ~0.25 img/s. That estimate is encoded as
+A100_BASELINE_IMG_PER_SEC below and echoed in the output JSON.
+
+Timing methodology: every timed call is fenced by pulling a scalar that
+depends on the full output (block_until_ready is not a reliable fence
+through remote runtimes). p50 is a real median over >=20 protocol runs.
+Split timings (backbone / per-chunk-group head) are measured with the same
+fencing and cross-checked against the whole-protocol time; the JSON carries
+the residual so the split is verifiably coherent. MFU is XLA cost-analysis
+flops divided by measured time and the chip's bf16 peak.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
-# persistent compilation cache: MQ-GLIP-T at 800x1344 compiles ~10 min through
-# the remote-compile tunnel; cached runs start in seconds.
+# persistent compilation cache: MQ-GLIP-T at 800x1344 compiles ~10 min
+# through the remote-compile tunnel; cached runs start in seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-A100_BASELINE_IMG_PER_SEC = 0.25  # estimated reference protocol throughput
+A100_BASELINE_IMG_PER_SEC = 0.25  # ~130 ms/forward x 31 chunks (see module doc)
 CHUNKS_PER_IMAGE = 31  # ceil(1203 / 40)
+TPU_V5E_BF16_PEAK_FLOPS = 197e12  # per-chip peak, bf16 MXU
+
+
+def _timed(call, sync, iters, warmup=2):
+    for _ in range(warmup):
+        sync(call())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sync(call())
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+
+def _flops_of_lowered(jitted, *args):
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from mqdet_tpu.engine.predict import make_split_predict_fns
-    from mqdet_tpu.utils.builders import build_model, mq_glip_t_config, synthetic_batch
+    from mqdet_tpu.engine.predict import (
+        make_batched_protocol_fn,
+        make_protocol_fn,
+        make_split_predict_fns,
+    )
+    from mqdet_tpu.utils.builders import (
+        build_model,
+        init_params_fast,
+        mq_glip_t_config,
+        synthetic_batch,
+    )
 
     cfg = mq_glip_t_config()
     cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 300
     image_hw = (800, 1344)
-    chunk_batch = 4  # prompt chunks evaluated per forward
+    chunk_batch = 4  # prompt chunks evaluated per head forward
+    image_batch = 4  # images per batched-protocol dispatch
+    n_groups = -(-CHUNKS_PER_IMAGE // chunk_batch)
 
     model = build_model(cfg)
     batch = synthetic_batch(
         cfg, batch=chunk_batch, image_hw=image_hw, num_labels=40, k_shot=5
     )
-    args = (
-        jnp.asarray(batch["images"]),
-        jnp.asarray(batch["input_ids"]),
-        jnp.asarray(batch["attention_mask"]),
-        jnp.asarray(batch["queries"]),
-        jnp.asarray(batch["query_mask"]),
+    args = tuple(
+        jnp.asarray(batch[k])
+        for k in ("images", "input_ids", "attention_mask", "queries",
+                  "query_mask")
     )
-    from mqdet_tpu.utils.builders import init_params_fast
-
     params = init_params_fast(model, *args)
-
-    encode_fn, head_fn = make_split_predict_fns(model, image_hw, cfg)
-    from mqdet_tpu.engine.predict import make_protocol_fn
-
-    protocol_fn = make_protocol_fn(model, image_hw, cfg)
 
     agg_map = jnp.asarray(batch["agg_map"])
     sizes = jnp.asarray(batch["image_sizes"])
     one_image = args[0][:1]
 
-    # stacked chunk inputs for the single-dispatch protocol:
-    # (G groups, CP chunks each) — synthetic batch tiled across groups.
-    n_groups = -(-CHUNKS_PER_IMAGE // chunk_batch)
-
-    def grp(x):
+    def grp(x):  # tile chunk inputs across groups: (G, CP, ...)
         return jnp.broadcast_to(x[None], (n_groups,) + x.shape)
 
-    g_args = tuple(grp(a) for a in args[1:]) + (grp(agg_map), grp(sizes))
+    g_text = tuple(grp(a) for a in args[1:]) + (grp(agg_map),)
+    g_sizes = grp(sizes)
 
-    def sync(out):
-        """Force device->host scalar transfer; block_until_ready is not a
-        reliable fence through remote runtimes."""
+    def sync_dets(out):
+        """Device->host scalar pull fences the whole computation."""
         return float(jnp.sum(out.scores))
 
-    # warmup / compile
-    dets = protocol_fn(params, one_image, *g_args)
-    sync(dets)
+    def sync_feats(feats):
+        return float(sum(jnp.sum(f[..., 0]) for f in feats))
+
+    # --- split timings (backbone once; head per chunk group) ---
+    encode_fn, head_fn = make_split_predict_fns(model, image_hw, cfg)
+    t_backbone = statistics.median(
+        _timed(lambda: encode_fn(params, one_image), sync_feats, iters=10))
     feats = encode_fn(params, one_image)
-    _ = head_fn(params, feats, args[1], args[2], args[3], args[4], agg_map, sizes)
+    t_head = statistics.median(
+        _timed(
+            lambda: head_fn(params, feats, args[1], args[2], args[3],
+                            args[4], agg_map, sizes),
+            sync_dets, iters=10))
 
-    # split timings (scalar-extraction synced)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        feats = encode_fn(params, one_image)
-        s0 = float(jnp.sum(feats[0]))
-    t_backbone = (time.perf_counter() - t0) / 5
+    # --- whole protocol, batch-1 image (p50 over >=20 runs) ---
+    protocol_fn = make_protocol_fn(model, image_hw, cfg)
+    ts1 = _timed(
+        lambda: protocol_fn(params, one_image, *g_text, g_sizes),
+        sync_dets, iters=20)
+    p50_1 = statistics.median(ts1)
+    img_s_1 = 1.0 / p50_1
+    flops_1 = _flops_of_lowered(protocol_fn, params, one_image, *g_text,
+                                g_sizes)
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        out = head_fn(params, feats, args[1], args[2], args[3], args[4],
-                      agg_map, sizes)
-        s0 = sync(out)
-    t_head = (time.perf_counter() - t0) / 5
+    # split-vs-protocol coherence: protocol ~= backbone + G x head (the
+    # protocol saves G-1 dispatches, so residual should be small/negative).
+    split_sum = t_backbone + n_groups * t_head
+    residual_pct = (split_sum - p50_1) / p50_1 * 100.0
 
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        dets = protocol_fn(params, one_image, *g_args)
-        s0 = sync(dets)
-    dt = (time.perf_counter() - t0) / iters  # sec per image, full protocol
+    # --- image-batched protocol (B images x G groups, head batch B*CP) ---
+    img_s_b = None
+    p50_b = None
+    flops_b = None
+    try:
+        bprotocol = make_batched_protocol_fn(model, image_hw, cfg,
+                                             image_batch=image_batch)
+        images_b = jnp.broadcast_to(
+            one_image, (image_batch,) + one_image.shape[1:])
+        sizes_b = jnp.broadcast_to(sizes[:1], (image_batch, 2))
+        tsb = _timed(
+            lambda: bprotocol(params, images_b, sizes_b, *g_text),
+            sync_dets, iters=10)
+        p50_b = statistics.median(tsb)
+        img_s_b = image_batch / p50_b
+        flops_b = _flops_of_lowered(bprotocol, params, images_b, sizes_b,
+                                    *g_text)
+    except Exception as e:  # OOM etc.: report batch-1 point only
+        print(f"# image-batched protocol failed: {type(e).__name__}: {e}")
 
-    img_per_sec = 1.0 / dt
-    p50_latency_ms = dt * 1000.0
+    if img_s_b is not None and img_s_b > img_s_1:
+        best_img_s, best_point = img_s_b, f"B={image_batch},CP={chunk_batch}"
+        best_flops_per_img = (flops_b / image_batch) if flops_b else None
+        best_sec_per_img = p50_b / image_batch
+    else:
+        best_img_s, best_point = img_s_1, f"B=1,CP={chunk_batch}"
+        best_flops_per_img = flops_1
+        best_sec_per_img = p50_1
+
+    mfu = None
+    if best_flops_per_img:
+        mfu = best_flops_per_img / best_sec_per_img / TPU_V5E_BF16_PEAK_FLOPS
 
     print(
         json.dumps(
             {
                 "metric": "images/sec/chip (MQ-GLIP-T, LVIS 31-chunk protocol)",
-                "value": round(img_per_sec, 4),
+                "value": round(best_img_s, 4),
                 "unit": "img/s",
-                "vs_baseline": round(img_per_sec / A100_BASELINE_IMG_PER_SEC, 3),
-                "chunk_batch": chunk_batch,
-                "sec_per_image": round(dt, 4),
-                "p50_latency_ms": round(p50_latency_ms, 2),
+                "vs_baseline": round(best_img_s / A100_BASELINE_IMG_PER_SEC, 3),
+                "baseline_img_per_sec": A100_BASELINE_IMG_PER_SEC,
+                "baseline_derivation": "31 chunk forwards x ~130ms batch-1 "
+                "A100 GLIP-T forward at 800x1333 (reference publishes no "
+                "throughput; see bench.py module doc)",
+                "best_operating_point": best_point,
+                "p50_latency_ms_b1": round(p50_1 * 1000.0, 2),
+                "img_per_sec_b1": round(img_s_1, 4),
+                "p50_latency_ms_batched": (
+                    round(p50_b * 1000.0, 2) if p50_b else None),
+                "img_per_sec_batched": (
+                    round(img_s_b, 4) if img_s_b else None),
                 "backbone_ms": round(t_backbone * 1000, 2),
-                "head_ms_per_chunkbatch": round(t_head * 1000, 2),
+                "head_ms_per_chunkgroup": round(t_head * 1000, 2),
+                "split_sum_ms": round(split_sum * 1000, 2),
+                "split_vs_protocol_residual_pct": round(residual_pct, 1),
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "flops_per_image": (
+                    round(best_flops_per_img) if best_flops_per_img else None),
+                "timed_iters": {"protocol_b1": 20, "protocol_batched": 10,
+                                "splits": 10},
             }
         )
     )

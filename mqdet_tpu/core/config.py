@@ -245,6 +245,7 @@ def default_config() -> CfgNode:
     c.MODEL.DYHEAD.FUSE_CONFIG.DO_LANG_PROJ_OUTSIDE_CHECKPOINT = False
     c.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS = False
     c.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS_COEF = 1.0
+    c.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS_FOR_ONLY_POSITIVES = True
     # fp16 clamps in the reference (fuse_helper.py:242-256) are unnecessary in
     # bf16; kept as no-op flags for config parity.
     c.MODEL.DYHEAD.FUSE_CONFIG.CLAMP_MIN_FOR_UNDERFLOW = True

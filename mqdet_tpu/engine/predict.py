@@ -180,3 +180,57 @@ def make_protocol_fn(model, image_hw: Tuple[int, int], cfg):
         )
 
     return protocol_fn
+
+
+def make_batched_protocol_fn(
+    model, image_hw: Tuple[int, int], cfg, image_batch: int
+):
+    """Image-batched whole-protocol dispatch: B images x G chunk groups.
+
+    The LVIS protocol scores every image against the same class-chunk
+    prompts, so the (image, chunk) grid is a cross product: the backbone
+    runs once per image (batch B), and each chunk group's head runs at
+    batch B*CP with features repeated image-major and text tiled.
+
+    protocol_fn(params, images (B,H,W,3), image_sizes (B,2),
+                input_ids (G, CP, T), attention_mask (G, CP, T),
+                queries (G, CP, V, C), query_mask (G, CP, V, T),
+                agg_map (G, CP, Cls, T))
+      -> Detections with leading (G, B*CP) dims; within a group, entry
+         i*CP + c is image i scored against chunk c (image-major).
+
+    The reference counterpart is 31*B sequential batch-1 GPU forwards
+    (maskrcnn_benchmark/engine/inference.py:577-648). Batching images as
+    well as chunks raises MXU utilization of the text-conditioned head and
+    amortizes the backbone dispatch.
+    """
+    _, head_fn = make_split_predict_fns(model, image_hw, cfg)
+    B = int(image_batch)
+
+    @jax.jit
+    def protocol_fn(params, images, image_sizes, input_ids, attention_mask,
+                    queries, query_mask, agg_map):
+        feats = tuple(
+            model.apply(params, images, method=type(model).encode_image)
+        )
+
+        def one_group(args):
+            ii, am, q, qm, ag = args
+            cp = ii.shape[0]
+            f_rep = tuple(jnp.repeat(f, cp, axis=0) for f in feats)
+
+            def tile_text(x):
+                return jnp.tile(x, (B,) + (1,) * (x.ndim - 1))
+
+            sz = jnp.repeat(image_sizes, cp, axis=0)
+            return head_fn(
+                params, f_rep, tile_text(ii), tile_text(am), tile_text(q),
+                tile_text(qm), tile_text(ag), sz,
+            )
+
+        return jax.lax.map(
+            one_group,
+            (input_ids, attention_mask, queries, query_mask, agg_map),
+        )
+
+    return protocol_fn

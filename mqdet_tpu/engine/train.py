@@ -109,6 +109,10 @@ def make_train_step(
     topk = cfg.MODEL.ATSS.TOPK
     reg_w = cfg.MODEL.ATSS.REG_LOSS_WEIGHT
     use_queries = cfg.VISION_QUERY.ENABLED
+    use_mlm = cfg.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS
+    mlm_coef = cfg.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS_COEF
+    mlm_only_pos = cfg.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS_FOR_ONLY_POSITIVES
+    vocab_size = cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE
 
     def loss_fn(trainable, frozen, batch, rng):
         params = merge(trainable, jax.lax.stop_gradient(frozen))
@@ -117,6 +121,20 @@ def make_train_step(
             input_ids = apply_text_dropout(
                 rng, input_ids, batch["pos_category_map"], batch["has_query"],
                 text_dropout,
+            )
+        mlm_labels = None
+        if use_mlm:
+            # greenlight (generalized_vl_rcnn_new.py:384-395): positive-class
+            # tokens only when MLM_LOSS_FOR_ONLY_POSITIVES, else every real
+            # (attended) token is maskable
+            if mlm_only_pos:
+                greenlight = (
+                    jnp.sum(batch["pos_category_map"], axis=1) > 0
+                ).astype(jnp.int32)
+            else:
+                greenlight = batch["attention_mask"]
+            input_ids, mlm_labels = random_word_mask(
+                jax.random.fold_in(rng, 2), input_ids, greenlight, vocab_size
             )
         head_out = model_apply(
             params,
@@ -143,6 +161,10 @@ def make_train_step(
         losses["loss_gate"] = L.gate_loss_from_params(
             trainable, scale=gate_scale, regularize=gate_reg
         )
+        if use_mlm:
+            losses["loss_mlm"] = mlm_coef * L.mlm_loss(
+                head_out["mlm_logits"], mlm_labels
+            )
         total = sum(losses.values())
         # NaN/Inf zeroing (trainer.py:150-152): zero the step, keep training
         total = jnp.where(jnp.isfinite(total), total, 0.0)

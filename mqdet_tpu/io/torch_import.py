@@ -319,6 +319,21 @@ def _head_rules():
         (r"rpn/bias_lang", f"{h}.bias_lang", _ident),
         (r"rpn/bias0", f"{h}.bias0", lambda w: np.asarray(w).reshape(1)),
     ]
+    # MLM head (FUSE_CONFIG.MLM_LOSS; BertLMPredictionHead,
+    # utils/fuse_helper.py:27-44 — decoder bias is the tied `mlm_head.bias`)
+    r += [
+        (r"rpn/mlm_head/transform_dense/kernel",
+         f"{h}.mlm_head.transform.dense.weight", _t_linear),
+        (r"rpn/mlm_head/transform_dense/bias",
+         f"{h}.mlm_head.transform.dense.bias", _ident),
+        (r"rpn/mlm_head/transform_ln/scale",
+         f"{h}.mlm_head.transform.LayerNorm.weight", _ident),
+        (r"rpn/mlm_head/transform_ln/bias",
+         f"{h}.mlm_head.transform.LayerNorm.bias", _ident),
+        (r"rpn/mlm_head/decoder/kernel",
+         f"{h}.mlm_head.decoder.weight", _t_linear),
+        (r"rpn/mlm_head/decoder/bias", f"{h}.mlm_head.bias", _ident),
+    ]
     return r
 
 

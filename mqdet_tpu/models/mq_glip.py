@@ -71,6 +71,7 @@ class MQGLIP(nn.Module):
     deform_radius: int = 2  # TPU.DEFORM_RADIUS; see utils/calibrate.py
     early_fuse: bool = True
     use_fused_dot_product: bool = True
+    use_mlm: bool = False  # FUSE_CONFIG.MLM_LOSS
     # language
     lang_layers: int = 12
     lang_dim: int = 768
@@ -148,6 +149,7 @@ class MQGLIP(nn.Module):
             use_fused_dot_product=(
                 cfg.MODEL.DYHEAD.FUSE_CONFIG.USE_FUSED_FEATURES_DOT_PRODUCT
             ),
+            use_mlm=cfg.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS,
             lang_layers=cfg.MODEL.LANGUAGE_BACKBONE.HIDDEN_LAYERS,
             lang_dim=cfg.MODEL.LANGUAGE_BACKBONE.LANG_DIM,
             lang_heads=cfg.MODEL.LANGUAGE_BACKBONE.NUM_HEADS,
@@ -270,6 +272,8 @@ class MQGLIP(nn.Module):
             deform_radius=self.deform_radius,
             early_fuse=self.early_fuse,
             use_fused_dot_product=self.use_fused_dot_product,
+            use_mlm=self.use_mlm,
+            vocab_size=self.vocab_size,
             dtype=self.dtype,
             name="rpn",
         )

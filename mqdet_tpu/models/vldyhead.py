@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mqdet_tpu.models.bert import BertLayer, GatedCrossAttentionBlock
+from mqdet_tpu.models.bert import BertLayer, GatedCrossAttentionBlock, MLMHead
 from mqdet_tpu.models.fusion import FILMFuse, SCANFuse, T2IFuse, VLFuse
 from mqdet_tpu.models.layers import (
     DYReLU,
@@ -235,6 +235,10 @@ class VLDyHead(nn.Module):
     query_fusion: bool = False
     add_linear_layer: bool = False
     gn_groups: int = 16
+    # FUSE_CONFIG.MLM_LOSS (vldyhead.py:760-765,790-792): vocab head on the
+    # fused text embedding for masked-language-model training
+    use_mlm: bool = False
+    vocab_size: int = 30522
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -383,10 +387,17 @@ class VLDyHead(nn.Module):
             dp = jnp.clip(dp, -50000.0, 50000.0)
             dot_product_logits.append(dp)
 
-        return {
+        out = {
             "logits": logits,                     # [(B, H, W, num_classes)]
             "bbox_reg": bbox_reg,                 # [(B, H, W, 4)]
             "centerness": centerness,             # [(B, H, W, 1)]
             "dot_product_logits": dot_product_logits,  # [(B, HW, T)]
             "fused_lang_hidden": lang_hidden,     # (B, T, lang_dim)
         }
+        if self.use_mlm:
+            # vldyhead.py:790-792: vocab logits from the fused embedding
+            out["mlm_logits"] = MLMHead(
+                hidden_size=self.lang_dim, vocab_size=self.vocab_size,
+                dtype=self.dtype, name="mlm_head",
+            )(embedding)
+        return out

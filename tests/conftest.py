@@ -5,6 +5,12 @@ Must run before jax initializes a backend — pytest imports conftest first.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: full-model tiny-config jits dominate suite time;
+# repeat runs hit the cache and finish in a fraction of the cold time.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tests"
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

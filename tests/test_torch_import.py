@@ -20,6 +20,7 @@ def _inverse(name: str, val: np.ndarray) -> np.ndarray:
 def test_import_round_trip():
     cfg = tiny_test_config()
     cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.MODEL.DYHEAD.FUSE_CONFIG.MLM_LOSS = True  # cover mlm_head rules too
     model = build_model(cfg)
     b = synthetic_batch(cfg, 1, (64, 64), num_labels=2, k_shot=2)
     args = tuple(
