@@ -23,6 +23,7 @@ from mqdet_tpu.engine import losses as L
 from mqdet_tpu.engine import optim as O
 
 MASK_TOKEN_ID = 103  # bert-base-uncased [MASK]
+PAD_TOKEN_ID = 0     # bert-base-uncased [PAD]
 
 
 @chex.dataclass
@@ -74,22 +75,33 @@ def apply_text_dropout(
 def random_word_mask(
     rng: jax.Array,
     input_ids: jnp.ndarray,     # (B, T)
-    greenlight: jnp.ndarray,    # (B, T) 1 = maskable (greenlight map)
+    greenlight: jnp.ndarray,    # (B, T) reference greenlight_map semantics
     vocab_size: int,
     mask_token_id: int = MASK_TOKEN_ID,
+    pad_token_id: int = PAD_TOKEN_ID,
     prob: float = 0.15,
 ):
-    """GLIP random_word (generalized_vl_rcnn_new.py:53-87): with prob 0.15
-    per greenlit token — 80% [MASK], 10% random token, 10% unchanged; MLM
-    labels carry the original id, -100 elsewhere."""
+    """GLIP random_word (generalized_vl_rcnn_new.py:53-87).
+
+    Greenlight semantics per the reference docstring: 1 = maskable AND counts
+    in the MLM loss; 0 = still corrupted in the input but excluded from the
+    loss; -1 = never masked, excluded from the loss. The mask condition is
+    `non-pad AND prob<0.15 AND greenlight!=-1`; the label condition is
+    `masked AND greenlight==1`. Pass an all-ones greenlight for the
+    greenlight_map=None case (MLM_LOSS_FOR_ONLY_POSITIVES=False).
+    """
     r1, r2, r3 = jax.random.split(rng, 3)
-    pick = (jax.random.uniform(r1, input_ids.shape) < prob) & (greenlight > 0)
+    pick = (
+        (jax.random.uniform(r1, input_ids.shape) < prob)
+        & (input_ids != pad_token_id)
+        & (greenlight != -1)
+    )
     action = jax.random.uniform(r2, input_ids.shape)
     random_ids = jax.random.randint(r3, input_ids.shape, 0, vocab_size)
     masked = jnp.where(action < 0.8, mask_token_id,
                        jnp.where(action < 0.9, random_ids, input_ids))
     new_ids = jnp.where(pick, masked, input_ids)
-    labels = jnp.where(pick, input_ids, -100)
+    labels = jnp.where(pick & (greenlight == 1), input_ids, -100)
     return new_ids, labels
 
 
@@ -117,24 +129,27 @@ def make_train_step(
     def loss_fn(trainable, frozen, batch, rng):
         params = merge(trainable, jax.lax.stop_gradient(frozen))
         input_ids = batch["input_ids"]
+        # Ordering matches generalized_vl_rcnn_new.py:384-410: random_word runs
+        # on the RAW tokenized ids (MLM labels capture original ids), and
+        # vision-query text dropout is applied afterwards to the masked ids.
+        mlm_labels = None
+        if use_mlm:
+            # greenlight (generalized_vl_rcnn_new.py:384-395): with
+            # MLM_LOSS_FOR_ONLY_POSITIVES only positive-class tokens carry a
+            # label (all non-pad tokens are still corrupted); otherwise
+            # greenlight_map is None -> every non-pad token is labelable.
+            pcm = batch.get("pos_category_map")
+            if mlm_only_pos and pcm is not None:
+                greenlight = (jnp.sum(pcm, axis=1) > 0).astype(jnp.int32)
+            else:
+                greenlight = jnp.ones_like(input_ids)
+            input_ids, mlm_labels = random_word_mask(
+                jax.random.fold_in(rng, 2), input_ids, greenlight, vocab_size
+            )
         if use_queries and text_dropout > 0:
             input_ids = apply_text_dropout(
                 rng, input_ids, batch["pos_category_map"], batch["has_query"],
                 text_dropout,
-            )
-        mlm_labels = None
-        if use_mlm:
-            # greenlight (generalized_vl_rcnn_new.py:384-395): positive-class
-            # tokens only when MLM_LOSS_FOR_ONLY_POSITIVES, else every real
-            # (attended) token is maskable
-            if mlm_only_pos:
-                greenlight = (
-                    jnp.sum(batch["pos_category_map"], axis=1) > 0
-                ).astype(jnp.int32)
-            else:
-                greenlight = batch["attention_mask"]
-            input_ids, mlm_labels = random_word_mask(
-                jax.random.fold_in(rng, 2), input_ids, greenlight, vocab_size
             )
         head_out = model_apply(
             params,

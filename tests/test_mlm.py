@@ -26,6 +26,39 @@ def _mlm_cfg():
     return cfg
 
 
+def test_random_word_mask_reference_semantics():
+    """Pin generalized_vl_rcnn_new.py:53-87 semantics: mask = non-pad AND
+    prob<0.15 AND greenlight!=-1 (greenlight==0 tokens ARE corrupted);
+    label = masked AND greenlight==1."""
+    from mqdet_tpu.engine.train import random_word_mask
+
+    rng = jax.random.PRNGKey(0)
+    t = 4096
+    ids = jnp.full((1, t), 2000, jnp.int32)
+    # thirds: greenlight 1 / 0 / -1; plus a pad tail
+    gl = np.zeros((1, t), np.int32)
+    gl[0, : t // 3] = 1
+    gl[0, 2 * t // 3 :] = -1
+    ids = ids.at[0, -64:].set(0)  # pad tokens
+    gl[0, -64:] = 1
+    new_ids, labels = random_word_mask(rng, ids, jnp.asarray(gl), 30522)
+    new_ids, labels = np.asarray(new_ids), np.asarray(labels)
+    changed = new_ids != np.asarray(ids)
+    # greenlight==0 region IS corrupted in the input (~15% * 90%)
+    assert changed[0, t // 3 : 2 * t // 3].mean() > 0.05
+    # but carries no labels
+    assert (labels[0, t // 3 : 2 * t // 3] == -100).all()
+    # greenlight==-1 region is never masked, never labeled
+    assert not changed[0, 2 * t // 3 : -64].any()
+    assert (labels[0, 2 * t // 3 : -64] == -100).all()
+    # pad tokens never masked even with greenlight 1
+    assert not changed[0, -64:].any()
+    # greenlight==1 region: labels exactly at picked positions, original ids
+    lab_region = labels[0, : t // 3]
+    assert (lab_region[lab_region != -100] == 2000).all()
+    assert (lab_region != -100).sum() > 0
+
+
 def test_forward_emits_mlm_logits():
     cfg = _mlm_cfg()
     model = build_model(cfg)
