@@ -384,3 +384,187 @@ class PascalVOCDataset:
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(labels, np.int64),
         )
+
+
+class ImageNetDataset:
+    """imagenet.py twin (maskrcnn_benchmark/data/datasets/imagenet.py:14-62).
+
+    Classification-style reader over a meta json with `classes`,
+    `class_to_idx` and `samples` ([relative_path, class_idx] pairs);
+    `select_class` restricts to a class subset (the reference uses it for
+    class-sampled pre-training batches). Pure numpy/PIL.
+    """
+
+    def __init__(self, ann_file: str, root: str):
+        meta_file = os.path.join(root, ann_file)
+        assert os.path.exists(meta_file), f"meta file {meta_file} not found"
+        with open(meta_file) as f:
+            meta = json.load(f)
+        self.root = root
+        self.classes = meta["classes"]
+        self.class_to_idx = meta["class_to_idx"]
+        self.allsamples = meta["samples"]
+        self.samples = list(self.allsamples)
+        self.ids = list(range(len(self.samples)))
+        self.ind_to_class = {
+            int(v): k for k, v in self.class_to_idx.items()
+        }
+
+    def select_class(self, cls) -> None:
+        """Restrict samples to class indices in `cls` (imagenet.py:42-45)."""
+        cls = set(cls)
+        self.samples = [s for s in self.allsamples if s[-1] in cls]
+        self.ids = list(range(len(self.samples)))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        path, _ = self.samples[idx]
+        return _load_rgb(os.path.join(self.root, path))
+
+    def target(self, idx: int) -> int:
+        return int(self.samples[idx][-1])
+
+    def __getitem__(self, idx: int):
+        return self.load_image(idx), self.target(idx), idx
+
+
+class CocoDetectionTSVDataset:
+    """coco_dt.py twin (CocoDetectionTSV, coco_dt.py:19-154).
+
+    OD annotations over TSV shards (`key \t labels_json \t base64img`) with
+    the standard dataset surface the grounding loader consumes
+    (ids / ind_to_class / annotations / load_image). The reference does the
+    OD->grounding caption synthesis inside __getitem__
+    (convert_object_detection_to_grounding_optimized_for_od,
+    coco_dt.py:103-118); in this package that synthesis lives in
+    GroundingTrainLoader, shared by every OD-style reader.
+
+    `categories`: optional {name: contiguous_id} map; if absent, class names
+    are scanned from the label column and assigned sorted contiguous ids.
+    """
+
+    def __init__(self, tsv_file: str, categories: Optional[Dict] = None):
+        from mqdet_tpu.data.tsv import ODTSVDataset
+
+        self.od = ODTSVDataset(tsv_file)
+        self.ids = list(range(len(self.od)))
+        if categories:
+            self.class_to_ind = {str(k): int(v) for k, v in categories.items()}
+        else:
+            names = set()
+            for i in self.ids:
+                _, ns = self.od.get_annotations(i)
+                names.update(n for n in ns if n)
+            self.class_to_ind = {n: i + 1 for i, n in enumerate(sorted(names))}
+        self.ind_to_class = {v: k for k, v in self.class_to_ind.items()}
+        self.cat_id_to_contiguous = {v: v for v in self.ind_to_class}
+        self.img_neg_cats: Dict = {}
+
+    def __len__(self):
+        return len(self.ids)
+
+    def load_image(self, idx: int) -> np.ndarray:
+        img, _, _ = self.od[idx]
+        return np.asarray(img)
+
+    def annotations(self, idx: int):
+        boxes, names = self.od.get_annotations(idx)
+        keep = [(b, self.class_to_ind[n]) for b, n in zip(boxes, names)
+                if n in self.class_to_ind]
+        if not keep:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int64)
+        bs = np.asarray([b for b, _ in keep], np.float32)
+        ls = np.asarray([l for _, l in keep], np.int64)
+        return bs, ls
+
+
+class PseudoDataDataset(CaptionTSVDataset):
+    """pseudo_data.py twin (PseudoData, pseudo_data.py:16-228).
+
+    Pseudo-labeled caption grounding over TSV shards. On top of
+    CaptionTSVDataset's screening this adds:
+      * caption_format_version="v2": the nested per-entity format
+        (bboxes[i][j], scores[i][j], shared tokens_positive[i]) is flattened
+        per box (convert_anno_from_yiling_to_ours, pseudo_data.py:204-219)
+      * strict-confidence screening (`scores > conf`, pseudo_data.py:133 —
+        the caption reader uses >=)
+      * inference_caption mode: caption-only rows (no boxes), for teacher
+        inference over unlabeled data (pseudo_data.py:108-118)
+    """
+
+    def __init__(
+        self,
+        tsv_file: str,
+        caption_min_box: int = 1,
+        further_screen: bool = False,
+        caption_conf: float = 0.5,
+        caption_nms: float = -1.0,
+        pack_random_caption_number: int = 0,
+        caption_format_version: str = "v1",
+        inference_caption: bool = False,
+        seed: int = 0,
+    ):
+        super().__init__(
+            tsv_file, caption_min_box=caption_min_box,
+            further_screen=further_screen, caption_conf=caption_conf,
+            caption_nms=caption_nms,
+            pack_random_caption_number=pack_random_caption_number, seed=seed,
+        )
+        self.caption_format_version = caption_format_version
+        self.inference_caption = inference_caption
+
+    @staticmethod
+    def _flatten_v2(meta: dict) -> dict:
+        """convert_anno_from_yiling_to_ours (pseudo_data.py:204-219)."""
+        bboxes, spans, scores = [], [], []
+        for i in range(len(meta["bboxes"])):
+            for j in range(len(meta["bboxes"][i])):
+                bboxes.append(meta["bboxes"][i][j])
+                spans.append(meta["tokens_positive"][i])
+                scores.append(meta["scores"][i][j])
+        out = dict(meta)
+        out["bboxes"] = bboxes
+        out["tokens_positive"] = spans
+        out["scores"] = scores
+        return out
+
+    def example(self, idx: int):
+        _, meta = self._row(idx)
+        if self.inference_caption:
+            caption = (
+                meta if isinstance(meta, str) else meta.get("caption", "")
+            )
+            return {
+                "caption": caption,
+                "boxes": np.zeros((0, 4), np.float32),
+                "tokens_positive": [],
+                "greenlight_span": [(0, len(caption))],
+            }
+        if self.caption_format_version == "v2":
+            meta = self._flatten_v2(meta)
+        caption = meta["caption"]
+        boxes = np.asarray(meta.get("bboxes", []), np.float32).reshape(-1, 4)
+        spans = [
+            [tuple(s) for s in sp] for sp in meta.get("tokens_positive", [])
+        ]
+        scores = np.asarray(meta.get("scores", [1.0] * len(boxes)), np.float32)
+
+        if self.further_screen and len(boxes):
+            keep = scores > self.caption_conf  # strict (pseudo_data.py:133)
+            boxes, scores = boxes[keep], scores[keep]
+            spans = [s for s, k in zip(spans, keep) if k]
+            if self.caption_nms > 0 and len(boxes):
+                ki = nms_screen(boxes, scores, self.caption_nms)
+                boxes, scores = boxes[ki], scores[ki]
+                spans = [spans[i] for i in ki]
+
+        if len(boxes) < self.caption_min_box:
+            return None
+        return {
+            "caption": caption,
+            "boxes": boxes,
+            "tokens_positive": spans,
+            "greenlight_span": [(0, len(caption))],
+        }

@@ -202,3 +202,129 @@ def test_build_dataset_factory_dispatch(tmp_path):
     assert isinstance(ds, FlickrDataset) and len(ds) == 2
     bg = build_dataset(cfg, "bg", train=True)
     assert isinstance(bg, BackgroundDataset)
+
+
+def test_imagenet_dataset(tmp_path):
+    from mqdet_tpu.data.datasets_extra import ImageNetDataset
+
+    _write_png(tmp_path / "img0.png")
+    _write_png(tmp_path / "img1.png")
+    meta = {
+        "classes": ["cat", "dog"],
+        "class_to_idx": {"cat": 0, "dog": 1},
+        "samples": [["img0.png", 0], ["img1.png", 1]],
+    }
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+    ds = ImageNetDataset("meta.json", str(tmp_path))
+    assert len(ds) == 2
+    img, target, idx = ds[1]
+    assert img.shape == (8, 8, 3) and target == 1 and idx == 1
+    ds.select_class({0})  # imagenet.py:42-45 class filter
+    assert len(ds) == 1 and ds.target(0) == 0
+
+
+def test_coco_detection_tsv_dataset(tmp_path):
+    from mqdet_tpu.data.datasets_extra import CocoDetectionTSVDataset
+
+    rows = []
+    for i in range(3):
+        labels = [
+            {"rect": [0, 0, 4, 4], "class": "cat"},
+            {"rect": [1, 1, 6, 6], "class": "dog"},
+        ]
+        rows.append(f"k{i}\t{json.dumps(labels)}\t{_png_b64()}")
+    p = tmp_path / "od.tsv"
+    p.write_text("\n".join(rows) + "\n")
+
+    ds = CocoDetectionTSVDataset(str(p))
+    assert len(ds) == 3
+    # scanned class map: sorted contiguous 1-based
+    assert ds.class_to_ind == {"cat": 1, "dog": 2}
+    boxes, labels = ds.annotations(0)
+    np.testing.assert_allclose(boxes, [[0, 0, 4, 4], [1, 1, 6, 6]])
+    assert list(labels) == [1, 2]
+    assert ds.load_image(0).shape == (8, 8, 3)
+
+    # explicit categories map restricts + remaps
+    ds2 = CocoDetectionTSVDataset(str(p), categories={"dog": 7})
+    b2, l2 = ds2.annotations(0)
+    assert list(l2) == [7] and len(b2) == 1
+
+
+def test_pseudo_data_dataset_v2_and_screening(tmp_path):
+    from mqdet_tpu.data.datasets_extra import PseudoDataDataset
+
+    # v2 nested-per-entity format (pseudo_data.py convert_anno_from_yiling)
+    meta = {
+        "caption": "a red ball near a box",
+        "bboxes": [[[0, 0, 4, 4], [0.2, 0.2, 4.1, 4.1]], [[5, 5, 7, 7]]],
+        "tokens_positive": [[[2, 10]], [[16, 21]]],
+        "scores": [[0.9, 0.55], [0.4]],
+        "img_w": 8, "img_h": 8,
+    }
+    p = tmp_path / "pseudo.tsv"
+    p.write_text(f"k0\t{json.dumps(meta)}\t{_png_b64()}\n")
+
+    ds = PseudoDataDataset(
+        str(p), caption_format_version="v2", further_screen=True,
+        caption_conf=0.5, caption_nms=0.5,
+    )
+    ex = ds.example(0)
+    # flatten -> 3 boxes; strict conf (>0.5) drops 0.4; nms drops the dup
+    assert len(ex["boxes"]) == 1
+    np.testing.assert_allclose(ex["boxes"][0], [0, 0, 4, 4])
+    assert ex["tokens_positive"] == [[(2, 10)]]
+    # greenlight covers the whole caption (pseudo_data.py:167)
+    assert ex["greenlight_span"] == [(0, len(meta["caption"]))]
+
+    # strictness: score == conf is dropped (reference uses >)
+    meta2 = dict(meta)
+    meta2["bboxes"] = [[[0, 0, 4, 4]]]
+    meta2["scores"] = [[0.5]]
+    meta2["tokens_positive"] = [[[2, 10]]]
+    p2 = tmp_path / "pseudo2.tsv"
+    p2.write_text(f"k0\t{json.dumps(meta2)}\t{_png_b64()}\n")
+    ds2 = PseudoDataDataset(
+        str(p2), caption_format_version="v2", further_screen=True,
+        caption_conf=0.5, caption_min_box=1,
+    )
+    assert ds2.example(0) is None
+
+    # inference_caption mode: caption only, no boxes
+    ds3 = PseudoDataDataset(str(p), inference_caption=True)
+    ex3 = ds3.example(0)
+    assert ex3["caption"] == meta["caption"] and len(ex3["boxes"]) == 0
+
+
+def test_new_factories_dispatch(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from train import build_dataset
+    from mqdet_tpu.core.config import default_config
+    from mqdet_tpu.data.datasets_extra import (
+        CocoDetectionTSVDataset,
+        ImageNetDataset,
+        PseudoDataDataset,
+    )
+
+    labels = [{"rect": [0, 0, 4, 4], "class": "cat"}]
+    (tmp_path / "od.tsv").write_text(f"k0\t{json.dumps(labels)}\t{_png_b64()}\n")
+    meta = {"caption": "x", "bboxes": [[0, 0, 4, 4]],
+            "tokens_positive": [[[0, 1]]], "scores": [1.0]}
+    (tmp_path / "ps.tsv").write_text(f"k0\t{json.dumps(meta)}\t{_png_b64()}\n")
+    _write_png(tmp_path / "i.png")
+    (tmp_path / "meta.json").write_text(json.dumps(
+        {"classes": ["c"], "class_to_idx": {"c": 0},
+         "samples": [["i.png", 0]]}
+    ))
+
+    cfg = default_config()
+    cfg.DATASETS.DATA_ROOT = str(tmp_path)
+    cfg.DATASETS.REGISTER = {
+        "odtsv": {"factory": "CocoDetectionTSV", "ann_file": "od.tsv"},
+        "ps": {"factory": "PseudoData", "ann_file": "ps.tsv"},
+        "inet": {"factory": "ImageNet", "ann_file": "meta.json", "img_dir": "."},
+    }
+    assert isinstance(build_dataset(cfg, "odtsv", True), CocoDetectionTSVDataset)
+    assert isinstance(build_dataset(cfg, "ps", True), PseudoDataDataset)
+    assert isinstance(build_dataset(cfg, "inet", True), ImageNetDataset)

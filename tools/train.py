@@ -75,6 +75,18 @@ def build_dataset(cfg, name: str, train: bool):
         return ODTSVDataset(os.path.join(root, reg["ann_file"]))
     if factory in ("CaptionTSV", "CaptionTSVDataset"):
         return DE.CaptionTSVDataset(os.path.join(root, reg["ann_file"]))
+    if factory in ("CocoDetectionTSV", "CocoDetectionTSVDataset"):
+        return DE.CocoDetectionTSVDataset(
+            os.path.join(root, reg["ann_file"]),
+            categories=reg.get("categories"),
+        )
+    if factory in ("PseudoData", "PseudoDataDataset"):
+        return DE.PseudoDataDataset(
+            os.path.join(root, reg["ann_file"]),
+            caption_format_version=reg.get("caption_format_version", "v1"),
+        )
+    if factory in ("ImageNet", "ImageNetDataset"):
+        return DE.ImageNetDataset(reg["ann_file"], os.path.join(root, reg.get("img_dir", "")))
     if factory == "Background":
         return DE.BackgroundDataset(
             os.path.join(root, reg["ann_file"]), os.path.join(root, reg["img_dir"])
@@ -173,7 +185,16 @@ def main():
 
     if cfg.MODEL.WEIGHT:
         state_dict = load_torch_state_dict(cfg.MODEL.WEIGHT)
-        params, report = import_glip_checkpoint(params, state_dict)
+        if cfg.GROUNDINGDINO.enabled:
+            from mqdet_tpu.io.torch_import import import_gdino_checkpoint
+
+            params, report = import_gdino_checkpoint(
+                params, state_dict,
+                enc_layers=cfg.GROUNDINGDINO.enc_layers,
+                dec_layers=cfg.GROUNDINGDINO.dec_layers,
+            )
+        else:
+            params, report = import_glip_checkpoint(params, state_dict)
         print(
             f"imported {len(report['matched'])} params; "
             f"{len(report['missing'])} missing; {len(report['unused'])} unused"
@@ -219,19 +240,27 @@ def main():
         cfg.SOLVER.MAX_ITER = cfg.SOLVER.MAX_EPOCH * loader.steps_per_epoch()
 
     state, tx, merge = init_train_state(params, cfg, trainable_patterns(cfg), frozen_patterns(cfg))
-    anchors_l = anchors_for_fpn(
-        bucket,
-        strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
-        sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
-        aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
-    )
-    anchors = jnp.asarray(np.concatenate(anchors_l))
-    level_sizes = tuple(a.shape[0] for a in anchors_l)
 
     def apply_fn(p, *a, **kw):
         return model.apply(p, *a, **kw)
 
-    train_step = make_train_step(apply_fn, merge, tx, anchors, level_sizes, cfg)
+    if cfg.GROUNDINGDINO.enabled:
+        # MQ-GroundingDINO branch: Hungarian set criterion, no anchors
+        # (reference: one engine serves both stacks,
+        # groundingdino.py:608-641 for the training criterion)
+        from mqdet_tpu.engine.train import make_gdino_train_step
+
+        train_step = make_gdino_train_step(apply_fn, merge, tx, cfg)
+    else:
+        anchors_l = anchors_for_fpn(
+            bucket,
+            strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+            sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+            aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+        )
+        anchors = jnp.asarray(np.concatenate(anchors_l))
+        level_sizes = tuple(a.shape[0] for a in anchors_l)
+        train_step = make_train_step(apply_fn, merge, tx, anchors, level_sizes, cfg)
     mesh = make_mesh(tuple(cfg.TPU.MESH_SHAPE), tuple(cfg.TPU.MESH_AXIS_NAMES))
     checkpointer = Checkpointer(cfg.OUTPUT_DIR, cfg.SOLVER.MAX_TO_KEEP)
 
