@@ -419,10 +419,20 @@ def default_config() -> CfgNode:
     c.GROUNDINGDINO.dec_n_points = 4
     c.GROUNDINGDINO.two_stage_type = "standard"
     c.GROUNDINGDINO.max_text_len = 256
-    c.GROUNDINGDINO.box_threshold = 0.0
+    c.GROUNDINGDINO.box_threshold = 0.05
     c.GROUNDINGDINO.dn_number = 0
     c.GROUNDINGDINO.query_dim = 4
     c.GROUNDINGDINO.fusion_droppath = 0.1
+    # criterion weights (defaults.py:992-1001)
+    c.GROUNDINGDINO.loss_ce_coef = 2.0
+    c.GROUNDINGDINO.loss_bbox_coef = 5.0
+    c.GROUNDINGDINO.loss_giou_coef = 2.0
+    c.GROUNDINGDINO.matcher = CfgNode()
+    c.GROUNDINGDINO.matcher.matcher_type = "HungarianMatcher"
+    c.GROUNDINGDINO.matcher.set_cost_class = 1.0
+    c.GROUNDINGDINO.matcher.set_cost_bbox = 5.0
+    c.GROUNDINGDINO.matcher.set_cost_giou = 2.0
+    c.GROUNDINGDINO.matcher.focal_alpha = 0.25
 
     # ---- TPU-specific runtime knobs ---------------------------------------
     c.TPU = CfgNode()

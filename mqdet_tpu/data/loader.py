@@ -139,6 +139,10 @@ class GroundingTrainLoader:
             "gt_token_map": gt_token_map,
             "pos_category_map": pos_cat_p,
             "num_positive": np.int32(g),
+            # true (h, w) of the resized image inside the padded bucket;
+            # the GDINO criterion normalizes gt boxes by it (the reference's
+            # normed_cxcy_boxes convention)
+            "image_sizes": np.asarray([oh, ow], np.float32),
         }
         if self.selector is not None and self.selector.bank is not None:
             q, qm, hq = self.selector.select(

@@ -22,6 +22,59 @@ from mqdet_tpu.models.postprocess import PostprocessParams, atss_postprocess
 from mqdet_tpu.ops.anchors import anchors_for_fpn
 
 
+def _make_gdino_split_fns(model, cfg):
+    """GDINO counterpart of make_split_predict_fns, same signatures.
+
+    encode_fn(params, images) -> srcs (tuple of 4 NHWC maps, strides 8..64)
+    head_fn(params, srcs, input_ids, attention_mask, queries, query_mask,
+            agg_map, image_sizes) -> Detections
+
+    Mirrors the reference eval path (tools/test_grounding_net.py ->
+    GroundingDINO.forward eval branch, groundingdino.py:438-647): forward +
+    convert_groundingdino_to_glip_output. The same ChunkedEvaluationPlan /
+    Detections contract as GLIP, so run_inference/online_update work
+    unchanged for MQ-GroundingDINO.
+    """
+    from mqdet_tpu.models.gdino import MQGroundingDINO, gdino_postprocess
+
+    use_queries = cfg.VISION_QUERY.ENABLED
+    box_threshold = cfg.GROUNDINGDINO.box_threshold
+    model_cls = type(model)
+
+    @jax.jit
+    def encode_fn(params, images):
+        return tuple(
+            model.apply(params, images, method=model_cls.encode_image)
+        )
+
+    @jax.jit
+    def head_fn(
+        params, feats, input_ids, attention_mask, queries, query_mask,
+        agg_map, image_sizes,
+    ) -> Detections:
+        out = model.apply(
+            params,
+            list(feats),
+            input_ids,
+            attention_mask,
+            queries if use_queries else None,
+            query_mask if use_queries else None,
+            method=model_cls.forward_head,
+        )
+        return gdino_postprocess(
+            out["pred_logits"], out["pred_boxes"], agg_map, image_sizes,
+            box_threshold,
+        )
+
+    return encode_fn, head_fn
+
+
+def _is_gdino(model) -> bool:
+    from mqdet_tpu.models.gdino import MQGroundingDINO
+
+    return isinstance(model, MQGroundingDINO)
+
+
 def make_predict_fn(
     model_apply: Callable,
     image_hw: Tuple[int, int],
@@ -100,7 +153,12 @@ def make_split_predict_fns(model, image_hw: Tuple[int, int], cfg):
     The image tower runs once per image; only the text-conditioned head
     (GCP-BERT + fusion + VLDyHead + NMS) runs per class chunk. The reference
     recomputes everything for each of its 31 sequential chunk forwards.
+
+    Dispatches on the model family: MQGroundingDINO gets the deformable-DETR
+    head + gdino_postprocess behind the same signatures.
     """
+    if _is_gdino(model):
+        return _make_gdino_split_fns(model, cfg)
     anchors_np = anchors_for_fpn(
         image_hw,
         strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),

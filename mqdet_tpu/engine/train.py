@@ -185,6 +185,98 @@ def make_train_step(
         total = jnp.where(jnp.isfinite(total), total, 0.0)
         return total, losses
 
+    return _finish_train_step(loss_fn, tx, ema_decay)
+
+
+def make_gdino_train_step(model_apply: Callable, merge: Callable, tx, cfg):
+    """MQ-GroundingDINO train step: Hungarian set criterion + gate loss.
+
+    Capability twin of the reference GDINO training branch
+    (groundingdino.py:608-641: SetCriterion over final + aux decoder layers,
+    plus the GCP gate loss) inside the same TrainState/pjit machinery as the
+    GLIP step. Vision-conditioned text dropout
+    (generalized_vl_rcnn_new.py:397-407) applies identically — the GDINO
+    forward path shares the QVBert GCP encoder.
+
+    Batch ABI adds `image_sizes` (B, 2) true (h, w): gt boxes arrive as
+    pixel xyxy in the resized frame and are normalized to the reference's
+    `normed_cxcy_boxes` convention here.
+    """
+    ema_decay = cfg.SOLVER.MODEL_EMA
+    text_dropout = cfg.VISION_QUERY.TEXT_DROPOUT
+    gate_scale = cfg.VISION_QUERY.GATE_REGULARIZATION_SCALE
+    gate_reg = cfg.VISION_QUERY.GATE_REGULARIZATION
+    use_queries = cfg.VISION_QUERY.ENABLED
+    g = cfg.GROUNDINGDINO
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge(trainable, jax.lax.stop_gradient(frozen))
+        input_ids = batch["input_ids"]
+        if use_queries and text_dropout > 0:
+            input_ids = apply_text_dropout(
+                rng, input_ids, batch["pos_category_map"], batch["has_query"],
+                text_dropout,
+            )
+        out = model_apply(
+            params,
+            batch["images"],
+            input_ids,
+            batch["attention_mask"],
+            batch.get("queries") if use_queries else None,
+            batch.get("query_mask") if use_queries else None,
+            deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 1)},
+        )
+        # xyxy pixels -> normalized cxcywh (reference normed_cxcy_boxes)
+        sizes = batch["image_sizes"]  # (B, 2) = (h, w)
+        wh = jnp.stack([sizes[:, 1], sizes[:, 0]], -1)[:, None, :]  # (B,1,2)
+        b = batch["gt_boxes"]
+        cx = (b[..., 0] + b[..., 2]) / 2
+        cy = (b[..., 1] + b[..., 3]) / 2
+        bw = b[..., 2] - b[..., 0]
+        bh = b[..., 3] - b[..., 1]
+        gt_cxcywh = jnp.stack([cx, cy, bw, bh], -1) / jnp.concatenate(
+            [wh, wh], -1
+        )
+        # 1-to-1 matching needs G <= num_queries (the reference's ragged
+        # targets always satisfy this; our fixed max_gt padding may not, so
+        # drop overflow slots — with 900 queries this never bites in prod)
+        gt_valid = batch["gt_valid"]
+        gt_token_map = batch["gt_token_map"]
+        nq = g.num_queries
+        if gt_cxcywh.shape[1] > nq:
+            gt_cxcywh = gt_cxcywh[:, :nq]
+            gt_valid = gt_valid[:, :nq]
+            gt_token_map = gt_token_map[:, :nq]
+        from mqdet_tpu.engine.gdino_losses import gdino_set_loss
+
+        losses = gdino_set_loss(
+            out,
+            gt_cxcywh,
+            gt_valid,
+            gt_token_map,
+            batch["attention_mask"],
+            cost_class=g.matcher.set_cost_class,
+            cost_bbox=g.matcher.set_cost_bbox,
+            cost_giou=g.matcher.set_cost_giou,
+            loss_ce_coef=g.loss_ce_coef,
+            loss_bbox_coef=g.loss_bbox_coef,
+            loss_giou_coef=g.loss_giou_coef,
+            alpha=g.matcher.focal_alpha,
+        )
+        losses["loss_gate"] = L.gate_loss_from_params(
+            trainable, scale=gate_scale, regularize=gate_reg
+        )
+        total = sum(losses.values())
+        total = jnp.where(jnp.isfinite(total), total, 0.0)
+        return total, losses
+
+    return _finish_train_step(loss_fn, tx, ema_decay)
+
+
+def _finish_train_step(loss_fn, tx, ema_decay):
+    """Shared optimizer/EMA/NaN-guard tail of both train-step builders."""
+
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable, state.frozen, batch, rng

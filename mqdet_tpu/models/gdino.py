@@ -376,13 +376,20 @@ class MQGroundingDINO(nn.Module):
     vocab_size: int = 30522
     start_qv_layer: int = 6
     vision_scale: float = 1.0
+    # [CLS] [SEP] . ?  ids (bertwarper.py special tokens; groundingdino.py:196
+    # derives them from the tokenizer — override for non-standard vocabs)
+    special_ids: Sequence[int] = (101, 102, 1012, 1029)
     dtype: Dtype = jnp.float32
 
     @classmethod
-    def from_config(cls, cfg, dtype=None):
+    def from_config(cls, cfg, dtype=None, special_ids=None):
         dt = dtype or getattr(jnp, cfg.TPU.COMPUTE_DTYPE)
         g = cfg.GROUNDINGDINO
+        extra = {}
+        if special_ids is not None:
+            extra["special_ids"] = tuple(int(i) for i in special_ids)
         return cls(
+            **extra,
             embed_dim=cfg.MODEL.SWINT.EMBED_DIM,
             depths=tuple(cfg.MODEL.SWINT.DEPTHS),
             num_heads_swin=tuple(cfg.MODEL.SWINT.NUM_HEADS),
@@ -407,42 +414,108 @@ class MQGroundingDINO(nn.Module):
             dtype=dt,
         )
 
-    @nn.compact
-    def __call__(
-        self,
-        images: jnp.ndarray,           # (B, H, W, 3)
-        input_ids: jnp.ndarray,        # (B, T)
-        attention_mask: jnp.ndarray,   # (B, T)
-        queries: Optional[jnp.ndarray] = None,      # (B, V, 256)
-        query_mask: Optional[jnp.ndarray] = None,   # (B, V, T)
-        deterministic: bool = True,
-    ) -> Dict[str, Any]:
-        images = images.astype(self.dtype)
-        b = images.shape[0]
+    def setup(self):
         c = self.hidden_dim
-
-        # ---- image backbone: Swin stages 1..3 + extra stride-64 level ------
-        stages = SwinTransformer(
+        self.backbone = SwinTransformer(
             embed_dim=self.embed_dim, depths=self.depths,
             num_heads=self.num_heads_swin, window_size=self.window_size,
             norm_stage0=True, dtype=self.dtype, name="backbone",
-        )(images, deterministic=deterministic)
+        )
+        n_proj = min(self.num_feature_levels, 4)
+        self.input_proj_convs = [
+            nn.Conv(c, (1, 1), dtype=self.dtype, name=f"input_proj_{i}_conv")
+            for i in range(3)
+        ] + (
+            [nn.Conv(c, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                     name="input_proj_3_conv")]
+            if n_proj > 3 else []
+        )
+        self.input_proj_gns = [
+            nn.GroupNorm(num_groups=min(32, c), dtype=self.dtype,
+                         name=f"input_proj_{i}_gn")
+            for i in range(n_proj)
+        ]
+        self.language_backbone = LanguageBackbone(
+            num_layers=self.lang_layers, hidden_size=self.lang_dim,
+            num_heads=self.lang_heads, intermediate_size=self.lang_intermediate,
+            vocab_size=self.vocab_size, start_qv_layer=self.start_qv_layer,
+            vision_dim=c, vision_scale=self.vision_scale, dtype=self.dtype,
+            name="language_backbone",
+        )
+        self.feat_map = nn.Dense(c, dtype=self.dtype, name="feat_map")
+        self.level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0),
+            (self.num_feature_levels, c),
+        )
+        self.enc_fusions = [
+            FusionLayer(v_dim=c, l_dim=c, embed_dim=1024, num_heads=4,
+                        dtype=self.dtype, name=f"enc_fusion_{i}")
+            for i in range(self.enc_layers)
+        ]
+        self.enc_texts = [
+            TextEnhancerLayer(d_model=c, n_heads=self.n_heads, d_ffn=1024,
+                              dtype=self.dtype, name=f"enc_text_{i}")
+            for i in range(self.enc_layers)
+        ]
+        self.enc_deforms = [
+            DeformableEncoderLayer(
+                d_model=c, d_ffn=self.d_ffn, n_heads=self.n_heads,
+                n_levels=self.num_feature_levels, n_points=self.enc_points,
+                dtype=self.dtype, name=f"enc_layer_{i}")
+            for i in range(self.enc_layers)
+        ]
+        self.enc_output = nn.Dense(c, dtype=self.dtype, name="enc_output")
+        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")
+        self.enc_out_bbox_embed = MLP(c, 4, dtype=self.dtype, name="enc_out_bbox_embed")
+        self.tgt_embed = self.param(
+            "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, c)
+        )
+        self.ref_point_head = MLP(c, c, layers=2, dtype=self.dtype, name="ref_point_head")
+        self.dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")  # shared
+        self.dec_layers_mods = [
+            DecoderLayer(
+                d_model=c, d_ffn=self.d_ffn, n_heads=self.n_heads,
+                n_levels=self.num_feature_levels, n_points=self.dec_points,
+                dtype=self.dtype, name=f"dec_layer_{i}")
+            for i in range(self.dec_layers)
+        ]
+        self.bbox_embeds = [
+            MLP(c, 4, dtype=self.dtype, name=f"bbox_embed_{i}")
+            for i in range(self.dec_layers)
+        ]
+
+    def encode_image(self, images: jnp.ndarray, deterministic: bool = True):
+        """Text-independent image tower: Swin stages 1..3 + input_proj ->
+        `num_feature_levels` NHWC maps at strides 8/16/32/64
+        (groundingdino.py:475-496 backbone + input_proj)."""
+        images = images.astype(self.dtype)
+        stages = self.backbone(images, deterministic=deterministic)
         feats = stages[1:4]  # strides 8, 16, 32 (groundingdino.py return_interm)
         srcs = []
         for i, f in enumerate(feats):
-            x = nn.Conv(c, (1, 1), dtype=self.dtype, name=f"input_proj_{i}_conv")(f)
-            x = nn.GroupNorm(num_groups=min(32, self.hidden_dim), dtype=self.dtype, name=f"input_proj_{i}_gn")(x)
-            srcs.append(x)
+            x = self.input_proj_convs[i](f)
+            srcs.append(self.input_proj_gns[i](x))
         if self.num_feature_levels > len(srcs):
-            x = nn.Conv(
-                c, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                name=f"input_proj_{len(feats)}_conv",
-            )(feats[-1])
-            x = nn.GroupNorm(
-                num_groups=min(32, self.hidden_dim), dtype=self.dtype,
-                name=f"input_proj_{len(feats)}_gn"
-            )(x)
-            srcs.append(x)
+            x = self.input_proj_convs[3](feats[-1])
+            srcs.append(self.input_proj_gns[3](x))
+        return srcs
+
+    def forward_head(
+        self,
+        srcs: List[jnp.ndarray],
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        queries: Optional[jnp.ndarray] = None,
+        query_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        """Text-dependent part: QVBert+GCP -> deformable encoder/decoder ->
+        per-layer heads. `srcs` may have batch 1 while text has batch C
+        (chunk parallelism); features are broadcast to the text batch."""
+        b = input_ids.shape[0]
+        c = self.hidden_dim
+        if srcs[0].shape[0] == 1 and b > 1:
+            srcs = [jnp.broadcast_to(s, (b,) + s.shape[1:]) for s in srcs]
 
         spatial_shapes = [(s.shape[1], s.shape[2]) for s in srcs]
 
@@ -455,33 +528,25 @@ class MQGroundingDINO(nn.Module):
                 parts.append(p.reshape(b, -1, c))
             image_tokens = jnp.concatenate(parts, axis=1)
 
-        attn_matrix, position_ids = sub_sentence_masks(input_ids)
-        lang = LanguageBackbone(
-            num_layers=self.lang_layers, hidden_size=self.lang_dim,
-            num_heads=self.lang_heads, intermediate_size=self.lang_intermediate,
-            vocab_size=self.vocab_size, start_qv_layer=self.start_qv_layer,
-            vision_dim=c, vision_scale=self.vision_scale, dtype=self.dtype,
-            name="language_backbone",
-        )(
+        attn_matrix, position_ids = sub_sentence_masks(
+            input_ids, self.special_ids
+        )
+        lang = self.language_backbone(
             input_ids, attention_mask,
             queries=queries.astype(self.dtype) if queries is not None else None,
             query_mask=query_mask, image_tokens=image_tokens,
             attention_matrix=attn_matrix, position_ids=position_ids,
             deterministic=deterministic,
         )
-        text = nn.Dense(c, dtype=self.dtype, name="feat_map")(lang["hidden"])
+        text = self.feat_map(lang["hidden"])
         text_mask = attention_mask
 
         # ---- flatten levels + positional embeds ----------------------------
         src_flat, pos_flat = [], []
-        level_embed = self.param(
-            "level_embed", nn.initializers.normal(1.0),
-            (self.num_feature_levels, c),
-        )
         for lvl, s in enumerate(srcs):
             h, w = spatial_shapes[lvl]
             pos = sine_pos_embed_2d(h, w, (h, w), num_pos_feats=c // 2)
-            pos = pos[None].astype(self.dtype) + level_embed[lvl].astype(self.dtype)
+            pos = pos[None].astype(self.dtype) + self.level_embed[lvl].astype(self.dtype)
             src_flat.append(s.reshape(b, -1, c))
             pos_flat.append(jnp.broadcast_to(pos.reshape(1, -1, c), (b, h * w, c)))
         memory = jnp.concatenate(src_flat, 1)
@@ -503,21 +568,11 @@ class MQGroundingDINO(nn.Module):
 
         # ---- encoder --------------------------------------------------------
         for i in range(self.enc_layers):
-            memory, text = FusionLayer(
-                v_dim=c, l_dim=c, embed_dim=1024, num_heads=4,
-                dtype=self.dtype, name=f"enc_fusion_{i}",
-            )(memory, text, text_mask, deterministic)
-            text = TextEnhancerLayer(
-                d_model=c, n_heads=self.n_heads, d_ffn=1024,
-                dtype=self.dtype, name=f"enc_text_{i}",
-            )(text, attn_matrix, pos_text, deterministic)
-            memory = DeformableEncoderLayer(
-                d_model=c, d_ffn=self.d_ffn, n_heads=self.n_heads,
-                n_levels=self.num_feature_levels, n_points=self.enc_points,
-                dtype=self.dtype, name=f"enc_layer_{i}",
-            )(memory, pos_embed, enc_ref, spatial_shapes, deterministic)
-
-        text_dict = {"encoded_text": text, "text_token_mask": text_mask}
+            memory, text = self.enc_fusions[i](memory, text, text_mask, deterministic)
+            text = self.enc_texts[i](text, attn_matrix, pos_text, deterministic)
+            memory = self.enc_deforms[i](
+                memory, pos_embed, enc_ref, spatial_shapes, deterministic
+            )
 
         # ---- two-stage proposals (utils.py gen_encoder_output_proposals) ---
         proposals = []
@@ -537,21 +592,23 @@ class MQGroundingDINO(nn.Module):
             output_proposals, (b,) + output_proposals.shape[1:]
         )
 
-        output_memory = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")(
-            nn.Dense(c, dtype=self.dtype, name="enc_output")(memory)
-        )
+        # invalid-proposal positions are ZEROED in the memory before the
+        # enc_output projection, and the topk runs UNMASKED over the class
+        # maxima (gen_encoder_output_proposals utils.py:96-99 +
+        # transformer.py:292-306) — invalid cells all carry the identical
+        # zeroed-feature score and lose naturally
+        output_memory = jnp.where(valid_prop, memory, 0.0)
+        output_memory = self.enc_output_norm(self.enc_output(output_memory))
         enc_logits = contrastive_embed(
             output_memory.astype(jnp.float32), text.astype(jnp.float32),
             text_mask, self.max_text_len,
         )
-        enc_boxes_unsig = MLP(c, 4, dtype=self.dtype, name="enc_out_bbox_embed")(
+        enc_boxes_unsig = self.enc_out_bbox_embed(
             output_memory
         ).astype(jnp.float32) + output_proposals
 
-        topk_scores = jnp.where(
-            jnp.isfinite(output_proposals[..., 0]),
-            jnp.max(jnp.where(jnp.isfinite(enc_logits), enc_logits, -jnp.inf), -1),
-            -jnp.inf,
+        topk_scores = jnp.max(
+            jnp.where(jnp.isfinite(enc_logits), enc_logits, -jnp.inf), -1
         )
         _, topk_idx = jax.lax.top_k(topk_scores, self.num_queries)  # (B, nq)
         ref_unsig = jnp.take_along_axis(
@@ -560,33 +617,26 @@ class MQGroundingDINO(nn.Module):
         ref_unsig = jax.lax.stop_gradient(ref_unsig)
         init_ref = jax.nn.sigmoid(ref_unsig)
 
-        tgt_embed = self.param(
-            "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, c)
-        )
         tgt = jnp.broadcast_to(
-            tgt_embed[None].astype(self.dtype), (b, self.num_queries, c)
+            self.tgt_embed[None].astype(self.dtype), (b, self.num_queries, c)
         )
 
         # ---- decoder with iterative refinement ------------------------------
         reference = init_ref
         outputs_classes, outputs_coords = [], []
-        ref_point_head = MLP(c, c, layers=2, dtype=self.dtype, name="ref_point_head")
-        dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")  # shared
         for i in range(self.dec_layers):
             ref_input = jnp.broadcast_to(
                 reference[:, :, None, :],
                 (b, self.num_queries, self.num_feature_levels, 4),
             )
             sine = gen_sineembed_for_position(reference).astype(self.dtype)  # (B, Q, 512)
-            query_pos = ref_point_head(sine)
-            tgt = DecoderLayer(
-                d_model=c, d_ffn=self.d_ffn, n_heads=self.n_heads,
-                n_levels=self.num_feature_levels, n_points=self.dec_points,
-                dtype=self.dtype, name=f"dec_layer_{i}",
-            )(tgt, query_pos, ref_input, memory, spatial_shapes, text, text_mask,
-              deterministic)
-            normed = dec_norm(tgt)
-            delta = MLP(c, 4, dtype=self.dtype, name=f"bbox_embed_{i}")(normed)
+            query_pos = self.ref_point_head(sine)
+            tgt = self.dec_layers_mods[i](
+                tgt, query_pos, ref_input, memory, spatial_shapes, text,
+                text_mask, deterministic,
+            )
+            normed = self.dec_norm(tgt)
+            delta = self.bbox_embeds[i](normed)
             new_ref = jax.nn.sigmoid(
                 delta.astype(jnp.float32) + inverse_sigmoid(reference)
             )
@@ -608,34 +658,54 @@ class MQGroundingDINO(nn.Module):
             "lang": lang,
         }
 
+    def __call__(
+        self,
+        images: jnp.ndarray,           # (B, H, W, 3)
+        input_ids: jnp.ndarray,        # (B, T)
+        attention_mask: jnp.ndarray,   # (B, T)
+        queries: Optional[jnp.ndarray] = None,      # (B, V, 256)
+        query_mask: Optional[jnp.ndarray] = None,   # (B, V, T)
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        srcs = self.encode_image(images, deterministic)
+        return self.forward_head(
+            srcs, input_ids, attention_mask, queries, query_mask, deterministic
+        )
+
 
 def gdino_postprocess(
-    pred_logits, pred_boxes, agg_map, image_sizes, num_select: int = 300
+    pred_logits, pred_boxes, agg_map, image_sizes, box_threshold: float = 0.05
 ):
     """convert_groundingdino_to_glip_output (groundingdino.py:291-335):
-    sigmoid token logits -> class scores via positive map, top-k select,
-    cxcywh -> xyxy scaled to the image."""
+    sigmoid token logits -> per-class MEAN over positive-map tokens
+    (convert_grounding_to_od_logits, rpn/inference.py:772-790) -> per-box
+    TOP-1 class with GROUNDINGDINO.box_threshold, cxcywh -> xyxy scaled to
+    the true image size, clipped (clip_to_image remove_empty=False). No NMS
+    — DETR-style outputs are already a sparse query set.
+
+    agg_map rows are row-normalized, so the einsum IS the per-class MEAN.
+    Output is the fixed-capacity Detections array (one slot per query)."""
     probs = jax.nn.sigmoid(
         jnp.where(jnp.isfinite(pred_logits), pred_logits, -1e9)
-    )  # (B, Q, T)
+    )  # (B, Q, max_text_len)
+    # logits are padded to max_text_len >= T; the pad region sigmoids to 0
+    # and carries no positive-map mass, so restrict to the caption's T
+    probs = probs[..., : agg_map.shape[-1]]
     scores_cls = jnp.einsum("bqt,blt->bql", probs, agg_map)  # (B, Q, L)
-    bq = scores_cls.shape
-    flat = scores_cls.reshape(bq[0], -1)
-    top_scores, top_idx = jax.lax.top_k(flat, num_select)
-    q_idx = top_idx // bq[2]
-    l_idx = top_idx % bq[2] + 1
-    boxes = jnp.take_along_axis(pred_boxes, q_idx[..., None], axis=1)
-    boxes = cxcywh_to_xyxy(boxes)
+    best = jnp.max(scores_cls, axis=-1)                      # (B, Q)
+    lab = jnp.argmax(scores_cls, axis=-1).astype(jnp.int32) + 1
+    boxes = cxcywh_to_xyxy(pred_boxes)
     scale = jnp.stack(
         [image_sizes[:, 1], image_sizes[:, 0], image_sizes[:, 1], image_sizes[:, 0]],
         -1,
     )[:, None, :]
     boxes = boxes * scale
+    boxes = jnp.clip(boxes, 0.0, jnp.maximum(scale - 1.0, 0.0))
     from mqdet_tpu.core.detections import Detections
 
     return Detections(
         boxes=boxes.astype(jnp.float32),
-        scores=top_scores.astype(jnp.float32),
-        labels=l_idx.astype(jnp.int32),
-        valid=top_scores > 0,
+        scores=best.astype(jnp.float32),
+        labels=lab,
+        valid=best > box_threshold,
     )

@@ -31,7 +31,10 @@ def make_mesh(
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1])) or 1
         shape[shape.index(-1)] = len(devices) // known
-    dev_array = np.asarray(devices).reshape(shape)
+    # an explicit smaller mesh (e.g. MESH_SHAPE: [1] in CPU tests) uses the
+    # first prod(shape) devices
+    need = int(np.prod(shape))
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, tuple(axis_names))
 
 

@@ -64,6 +64,23 @@ def tiny_test_config() -> CfgNode:
     return cfg
 
 
+def tiny_gdino_config() -> CfgNode:
+    """Miniature MQ-GroundingDINO config for CPU tests and the dry run."""
+    cfg = tiny_test_config()
+    cfg.MODEL.META_ARCHITECTURE = "MQGroundingDINO"
+    cfg.GROUNDINGDINO.enabled = True
+    cfg.GROUNDINGDINO.hidden_dim = 16  # == MODEL.BACKBONE.OUT_CHANNELS
+    cfg.GROUNDINGDINO.nheads = 2
+    cfg.GROUNDINGDINO.dim_feedforward = 32
+    cfg.GROUNDINGDINO.enc_layers = 1
+    cfg.GROUNDINGDINO.dec_layers = 2
+    cfg.GROUNDINGDINO.num_queries = 12
+    # must equal MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN (the reference pads
+    # GDINO captions to max_text_len, groundingdino.py:528)
+    cfg.GROUNDINGDINO.max_text_len = cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN
+    return cfg
+
+
 def build_model(cfg, bank_shape=None):
     """build_detection_model twin (modeling/detector/__init__.py:1-14):
     dispatch on META_ARCHITECTURE / GROUNDINGDINO.enabled.

@@ -5,12 +5,6 @@ Must run before jax initializes a backend — pytest imports conftest first.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: full-model tiny-config jits dominate suite time;
-# repeat runs hit the cache and finish in a fraction of the cold time.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_tests"
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,6 +16,14 @@ import jax  # noqa: E402
 # The axon TPU-tunnel plugin (sitecustomize) force-sets jax_platforms at
 # interpreter boot, which overrides the env var; undo it for tests.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: full-model tiny-config jits dominate suite time;
+# repeat runs hit the cache and skip the cold compile. On this jax build the
+# env-var path does not populate the cache on CPU — it must be configured via
+# jax.config, and min_entry_size_bytes must be lifted (-1) or CPU
+# executables are silently skipped as "too small".
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # This jax build truncates f32 matmul operands to bf16 at DEFAULT precision
 # even on CPU (TPU-numerics emulation); parity tests need exact f32.
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -365,6 +365,8 @@ def make_bert_assets(
     vocab += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
     vocab += TINY_WORDS
     vocab += ["##" + w for w in TINY_WORDS]
+    # punctuation (GDINO's sub-sentence specials: ". ?" — bertwarper.py)
+    vocab += [".", "?", ","]
     with open(os.path.join(d, "vocab.txt"), "w") as f:
         f.write("\n".join(vocab) + "\n")
 

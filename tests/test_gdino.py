@@ -97,10 +97,17 @@ def test_gdino_postprocess(rng):
     agg[0, 1, 4:5] = 1.0
     agg[0, 2, 6:8] = 0.5
     sizes = jnp.asarray([[60.0, 80.0]])
-    dets = GD.gdino_postprocess(logits, boxes, jnp.asarray(agg), sizes, num_select=10)
-    assert dets.boxes.shape == (1, 10, 4)
+    dets = GD.gdino_postprocess(logits, boxes, jnp.asarray(agg), sizes,
+                                box_threshold=0.05)
+    # one slot per query (reference keeps every box above box_threshold with
+    # its top-1 class; no NMS — groundingdino.py:291-335)
+    assert dets.boxes.shape == (1, 12, 4)
     assert np.asarray(dets.labels).min() >= 1
     assert np.asarray(dets.valid).any()
+    b = np.asarray(dets.boxes)
+    assert (b[..., [0, 2]] <= 79.0 + 1e-5).all()
+    assert (b[..., [1, 3]] <= 59.0 + 1e-5).all()
+    assert (b >= 0).all()
 
 
 def test_hungarian_match_prefers_overlap():
@@ -142,4 +149,4 @@ def test_gdino_set_loss_finite(rng):
     )
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
-    assert "loss_ce_aux0" in losses
+    assert "loss_ce_0" in losses  # reference aux naming, loss.py:160

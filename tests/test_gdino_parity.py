@@ -399,3 +399,235 @@ def test_decoder_layer_parity():
                    jnp.asarray(text_valid.astype(np.float32)))
     )
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Criterion / matcher VALUE parity vs the actual reference modules
+# (loss.py:18-180, matcher.py:8-181) — VERDICT round-2 ask #8.
+# ---------------------------------------------------------------------------
+
+def _load_ref_criterion():
+    """Load reference matcher.py + loss.py under their canonical names.
+
+    Repairs any minimal package stubs left by _load_ref_transformer (they
+    lack __path__ / misc symbols), then imports via the normal machinery so
+    loss.py's absolute imports resolve."""
+    from tests.ref_harness import REF_ROOT, install_stubs
+
+    install_stubs()
+    pkg_paths = {
+        "groundingdino_new": [os.path.join(REF_ROOT, "groundingdino_new")],
+        "groundingdino_new.util": [
+            os.path.join(REF_ROOT, "groundingdino_new", "util")
+        ],
+        "groundingdino_new.models": [
+            os.path.join(REF_ROOT, "groundingdino_new", "models")
+        ],
+        "groundingdino_new.models.GroundingDINO": [GD],
+    }
+    for name, path in pkg_paths.items():
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+        if not hasattr(mod, "__path__"):
+            mod.__path__ = path
+
+    # box_ops (only needs torchvision box_area, stubbed)
+    import importlib
+
+    if "groundingdino_new.util.box_ops" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "groundingdino_new.util.box_ops",
+            os.path.join(REF_ROOT, "groundingdino_new", "util", "box_ops.py"),
+        )
+        m = importlib.util.module_from_spec(spec)
+        sys.modules["groundingdino_new.util.box_ops"] = m
+        spec.loader.exec_module(m)
+
+    # misc: a minimal stub may be installed by _load_ref_transformer; give it
+    # every symbol loss.py names in its import
+    misc = sys.modules.get("groundingdino_new.util.misc")
+    if misc is None:
+        misc = types.ModuleType("groundingdino_new.util.misc")
+        sys.modules["groundingdino_new.util.misc"] = misc
+    defaults = dict(
+        NestedTensor=object,
+        nested_tensor_from_tensor_list=lambda *a, **k: None,
+        accuracy=lambda *a, **k: None,
+        get_world_size=lambda: 1,
+        interpolate=lambda *a, **k: None,
+        is_dist_avail_and_initialized=lambda: False,
+    )
+    for k, v in defaults.items():
+        if not hasattr(misc, k):
+            setattr(misc, k, v)
+    if not hasattr(misc, "inverse_sigmoid"):
+        def inverse_sigmoid(x, eps=1e-3):
+            x = x.clamp(min=0, max=1)
+            return torch.log(x.clamp(min=eps) / (1 - x).clamp(min=eps))
+
+        misc.inverse_sigmoid = inverse_sigmoid
+
+    for sub in ("utils", "matcher", "loss"):
+        name = f"groundingdino_new.models.GroundingDINO.{sub}"
+        if name not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                name, os.path.join(GD, sub + ".py")
+            )
+            m = importlib.util.module_from_spec(spec)
+            sys.modules[name] = m
+            spec.loader.exec_module(m)
+    return (
+        sys.modules["groundingdino_new.models.GroundingDINO.matcher"],
+        sys.modules["groundingdino_new.models.GroundingDINO.loss"],
+    )
+
+
+class _FakeTarget:
+    def __init__(self, boxes):
+        self._boxes = boxes
+
+    def get_field(self, k):
+        assert k == "normed_cxcy_boxes"
+        return self._boxes
+
+    def __len__(self):
+        return len(self._boxes)
+
+
+def _make_criterion_case(seed=0, b=2, q=20, t_real=12, max_len=16):
+    rng = np.random.default_rng(seed)
+    logits = rng.standard_normal((b, q, max_len)).astype(np.float32)
+    logits[:, :, t_real:] = -np.inf  # ContrastiveEmbed -inf padding
+    cxy = rng.uniform(0.25, 0.75, (b, q, 2)).astype(np.float32)
+    wh = rng.uniform(0.05, 0.4, (b, q, 2)).astype(np.float32)
+    boxes = np.concatenate([cxy, wh], -1)
+    # aux layer
+    logits_a = rng.standard_normal((b, q, max_len)).astype(np.float32)
+    logits_a[:, :, t_real:] = -np.inf
+    cxy_a = rng.uniform(0.25, 0.75, (b, q, 2)).astype(np.float32)
+    wh_a = rng.uniform(0.05, 0.4, (b, q, 2)).astype(np.float32)
+    boxes_a = np.concatenate([cxy_a, wh_a], -1)
+
+    sizes = [2, 3]  # ragged per-image gt counts (reference) -> ours padded
+    g_max = max(sizes)
+    gt_boxes, gt_maps = [], []
+    for gi, n in enumerate(sizes):
+        c = rng.uniform(0.3, 0.7, (n, 2)).astype(np.float32)
+        s = rng.uniform(0.1, 0.3, (n, 2)).astype(np.float32)
+        gt_boxes.append(np.concatenate([c, s], -1))
+        m = np.zeros((n, max_len), np.float32)
+        for j in range(n):
+            a0 = 1 + (2 * j) % (t_real - 3)
+            m[j, a0 : a0 + 2] = 1.0
+        gt_maps.append(m)
+    text_mask = np.zeros((b, max_len), bool)
+    text_mask[:, :t_real] = True
+    return dict(
+        logits=logits, boxes=boxes, logits_a=logits_a, boxes_a=boxes_a,
+        gt_boxes=gt_boxes, gt_maps=gt_maps, sizes=sizes, g_max=g_max,
+        text_mask=text_mask,
+    )
+
+
+def test_matcher_indices_parity():
+    matcher_mod, _ = _load_ref_criterion()
+    from mqdet_tpu.engine.gdino_losses import hungarian_match
+
+    case = _make_criterion_case()
+    m = matcher_mod.HungarianMatcher(
+        cost_class=1.0, cost_bbox=5.0, cost_giou=2.0, focal_alpha=0.25
+    )
+    outputs = {
+        "pred_logits": torch.from_numpy(case["logits"]),
+        "pred_boxes": torch.from_numpy(case["boxes"]),
+    }
+    targets = [_FakeTarget(torch.from_numpy(x)) for x in case["gt_boxes"]]
+    positive_map = torch.from_numpy(np.concatenate(case["gt_maps"]))
+    ref_idx = m(outputs, targets, positive_map)
+
+    for i in range(len(targets)):
+        n = case["sizes"][i]
+        g_max = case["g_max"]
+        gtm = np.zeros((g_max, case["logits"].shape[-1]), np.float32)
+        gbx = np.zeros((g_max, 4), np.float32)
+        gtm[:n] = case["gt_maps"][i]
+        gbx[:n] = case["gt_boxes"][i]
+        valid = np.zeros((g_max,), bool)
+        valid[:n] = True
+        q_ind, _ = hungarian_match(
+            jnp.asarray(case["logits"][i]), jnp.asarray(case["boxes"][i]),
+            jnp.asarray(gtm), jnp.asarray(gbx), jnp.asarray(valid),
+            cost_class=1.0, cost_bbox=5.0, cost_giou=2.0,
+        )
+        ref_q_of_gt = np.zeros((n,), np.int64)
+        ri, rj = ref_idx[i]
+        ref_q_of_gt[rj.numpy()] = ri.numpy()
+        np.testing.assert_array_equal(np.asarray(q_ind)[:n], ref_q_of_gt)
+
+
+def test_criterion_value_parity():
+    """Same predictions/targets through the reference SetCriterion and our
+    gdino_set_loss: every (weighted) loss value agrees to 1e-5, including
+    the aux decoder layer (loss.py:150-177)."""
+    matcher_mod, loss_mod = _load_ref_criterion()
+    from tests.ref_harness import ref_config
+
+    from mqdet_tpu.engine.gdino_losses import gdino_set_loss
+
+    case = _make_criterion_case(seed=3)
+    cfg = ref_config()
+
+    m = matcher_mod.HungarianMatcher(
+        cost_class=1.0, cost_bbox=5.0, cost_giou=2.0, focal_alpha=0.25
+    )
+    crit = loss_mod.SetCriterion(m, cfg)
+    outputs = {
+        "pred_logits": torch.from_numpy(case["logits"]),
+        "pred_boxes": torch.from_numpy(case["boxes"]),
+        "aux_outputs": [{
+            "pred_logits": torch.from_numpy(case["logits_a"]),
+            "pred_boxes": torch.from_numpy(case["boxes_a"]),
+        }],
+    }
+    targets = [_FakeTarget(torch.from_numpy(x)) for x in case["gt_boxes"]]
+    positive_map = torch.from_numpy(np.concatenate(case["gt_maps"]))
+    ref = crit(
+        outputs, targets,
+        text_mask=torch.from_numpy(case["text_mask"]),
+        positive_map=positive_map,
+    )
+
+    b = len(case["sizes"])
+    g_max = case["g_max"]
+    t = case["logits"].shape[-1]
+    gtm = np.zeros((b, g_max, t), np.float32)
+    gbx = np.zeros((b, g_max, 4), np.float32)
+    valid = np.zeros((b, g_max), bool)
+    for i, n in enumerate(case["sizes"]):
+        gtm[i, :n] = case["gt_maps"][i]
+        gbx[i, :n] = case["gt_boxes"][i]
+        valid[i, :n] = True
+    ours = gdino_set_loss(
+        {
+            "pred_logits": jnp.asarray(case["logits"]),
+            "pred_boxes": jnp.asarray(case["boxes"]),
+            "aux_logits": [jnp.asarray(case["logits_a"])],
+            "aux_boxes": [jnp.asarray(case["boxes_a"])],
+        },
+        jnp.asarray(gbx), jnp.asarray(valid), jnp.asarray(gtm),
+        jnp.asarray(case["text_mask"].astype(np.float32)),
+        cost_class=1.0, cost_bbox=5.0, cost_giou=2.0,
+        loss_ce_coef=cfg.GROUNDINGDINO.loss_ce_coef,
+        loss_bbox_coef=cfg.GROUNDINGDINO.loss_bbox_coef,
+        loss_giou_coef=cfg.GROUNDINGDINO.loss_giou_coef,
+        alpha=cfg.MODEL.DYHEAD.FUSE_CONFIG.TOKEN_ALPHA,
+        gamma=cfg.MODEL.DYHEAD.FUSE_CONFIG.TOKEN_GAMMA,
+    )
+    for k in ("loss_ce", "loss_bbox", "loss_giou",
+              "loss_ce_0", "loss_bbox_0", "loss_giou_0"):
+        assert k in ref and k in ours, (k, sorted(ref), sorted(ours))
+        np.testing.assert_allclose(
+            float(ours[k]), float(ref[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )

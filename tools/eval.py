@@ -77,6 +77,17 @@ def main():
     if cfg.MODEL.WEIGHT:
         if cfg.MODEL.WEIGHT.endswith(".npz"):
             params = load_params_npz(cfg.MODEL.WEIGHT, params)
+        elif cfg.GROUNDINGDINO.enabled:
+            from mqdet_tpu.io.torch_import import import_gdino_checkpoint
+
+            params, report = import_gdino_checkpoint(
+                params, load_torch_state_dict(cfg.MODEL.WEIGHT),
+                enc_layers=cfg.GROUNDINGDINO.enc_layers,
+                dec_layers=cfg.GROUNDINGDINO.dec_layers,
+            )
+            print(
+                f"imported {len(report['matched'])}; missing {len(report['missing'])}"
+            )
         else:
             params, report = import_glip_checkpoint(
                 params, load_torch_state_dict(cfg.MODEL.WEIGHT)
