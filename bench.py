@@ -40,6 +40,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 A100_BASELINE_IMG_PER_SEC = 0.25  # ~130 ms/forward x 31 chunks (see module doc)
 CHUNKS_PER_IMAGE = 31  # ceil(1203 / 40)
 TPU_V5E_BF16_PEAK_FLOPS = 197e12  # per-chip peak, bf16 MXU
+A100_BF16_PEAK_FLOPS = 312e12    # per-chip peak, bf16 tensor cores
+A100_ASSUMED_MFU = 0.30          # typical dense-detector eval MFU on A100
 
 
 def _timed(call, sync, iters, warmup=2):
@@ -61,6 +63,24 @@ def _flops_of_lowered(jitted, *args):
         return float(cost.get("flops", 0.0)) or None
     except Exception:
         return None
+
+
+def _dispatch_overhead_ms(jnp, timed, sync):
+    """Fixed per-dispatch cost of the runtime (enqueue + host sync). Through
+    the axon remote tunnel this measured ~35 ms — it must be subtracted when
+    attributing time from separately-dispatched split measurements."""
+    import jax
+
+    tiny = jnp.ones((8, 128), jnp.float32)
+
+    @jax.jit
+    def nop(x):
+        return x + 1.0
+
+    ts = timed(lambda: nop(tiny), sync, iters=20)
+    import statistics as _st
+
+    return _st.median(ts) * 1000.0
 
 
 def main():
@@ -114,6 +134,11 @@ def main():
     def sync_feats(feats):
         return float(sum(jnp.sum(f[..., 0]) for f in feats))
 
+    def sync_scalar(out):
+        return float(jnp.sum(out))
+
+    overhead_ms = _dispatch_overhead_ms(jnp, _timed, sync_scalar)
+
     # --- split timings (backbone once; head per chunk group) ---
     encode_fn, head_fn = make_split_predict_fns(model, image_hw, cfg)
     t_backbone = statistics.median(
@@ -132,13 +157,26 @@ def main():
         sync_dets, iters=20)
     p50_1 = statistics.median(ts1)
     img_s_1 = 1.0 / p50_1
-    flops_1 = _flops_of_lowered(protocol_fn, params, one_image, *g_text,
-                                g_sizes)
+    # honest flops: XLA cost analysis folds the lax.map body to ONE iteration,
+    # undercounting the protocol by ~G x. Count backbone + G x head instead.
+    enc_flops = _flops_of_lowered(encode_fn, params, one_image)
+    head_flops = _flops_of_lowered(
+        head_fn, params, feats, args[1], args[2], args[3], args[4], agg_map,
+        sizes)
+    flops_1 = (
+        enc_flops + n_groups * head_flops
+        if enc_flops and head_flops else None
+    )
 
-    # split-vs-protocol coherence: protocol ~= backbone + G x head (the
-    # protocol saves G-1 dispatches, so residual should be small/negative).
+    # split-vs-protocol coherence: protocol ~= backbone + G x head once the
+    # fixed per-dispatch overhead is removed from every timed call (the split
+    # path pays it G+1 times, the protocol once).
     split_sum = t_backbone + n_groups * t_head
-    residual_pct = (split_sum - p50_1) / p50_1 * 100.0
+    split_sum_adj = split_sum - (n_groups + 1) * overhead_ms / 1000.0
+    residual_pct = (
+        (split_sum_adj - (p50_1 - overhead_ms / 1000.0))
+        / p50_1 * 100.0
+    )
 
     # --- image-batched protocol (B images x G groups, head batch B*CP) ---
     img_s_b = None
@@ -155,8 +193,9 @@ def main():
             sync_dets, iters=10)
         p50_b = statistics.median(tsb)
         img_s_b = image_batch / p50_b
-        flops_b = _flops_of_lowered(bprotocol, params, images_b, sizes_b,
-                                    *g_text)
+        flops_b = (
+            image_batch * flops_1 if flops_1 else None
+        )  # same network per image; cost analysis would fold the lax.map
     except Exception as e:  # OOM etc.: report batch-1 point only
         print(f"# image-batched protocol failed: {type(e).__name__}: {e}")
 
@@ -170,8 +209,14 @@ def main():
         best_sec_per_img = p50_1
 
     mfu = None
+    a100_analytic = None
     if best_flops_per_img:
         mfu = best_flops_per_img / best_sec_per_img / TPU_V5E_BF16_PEAK_FLOPS
+        # independent derivation of the A100 baseline: the SAME flops on an
+        # A100 at a typical dense-detector MFU
+        a100_analytic = (
+            A100_BF16_PEAK_FLOPS * A100_ASSUMED_MFU / best_flops_per_img
+        )
 
     print(
         json.dumps(
@@ -184,6 +229,14 @@ def main():
                 "baseline_derivation": "31 chunk forwards x ~130ms batch-1 "
                 "A100 GLIP-T forward at 800x1333 (reference publishes no "
                 "throughput; see bench.py module doc)",
+                "baseline_analytic_img_per_sec": (
+                    round(a100_analytic, 4) if a100_analytic else None),
+                "baseline_analytic_derivation": (
+                    f"{A100_BF16_PEAK_FLOPS:.0e} A100 bf16 peak x "
+                    f"{A100_ASSUMED_MFU} assumed MFU / measured "
+                    "flops-per-image (independent cross-check of the 0.25 "
+                    "estimate)"),
+                "dispatch_overhead_ms": round(overhead_ms, 2),
                 "best_operating_point": best_point,
                 "p50_latency_ms_b1": round(p50_1 * 1000.0, 2),
                 "img_per_sec_b1": round(img_s_1, 4),
@@ -194,6 +247,8 @@ def main():
                 "backbone_ms": round(t_backbone * 1000, 2),
                 "head_ms_per_chunkgroup": round(t_head * 1000, 2),
                 "split_sum_ms": round(split_sum * 1000, 2),
+                "split_sum_overhead_adjusted_ms": round(
+                    split_sum_adj * 1000, 2),
                 "split_vs_protocol_residual_pct": round(residual_pct, 1),
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "flops_per_image": (

@@ -448,6 +448,11 @@ def default_config() -> CfgNode:
     # offset range of a loaded checkpoint and raises this (or falls back to
     # the exact gather impl) when the clip would bite.
     c.TPU.DEFORM_RADIUS = 2
+    # offset handling when DyConv applies level-L offsets to level L±1 convs:
+    # "strided" = the reference CUDA kernel's flat-buffer reinterpretation
+    # (what released checkpoints were trained with); "resample" = bilinear
+    # offset-field resampling (cleaner; off-reference)
+    c.TPU.DEFORM_OFFSET_COMPAT = "strided"
 
     # GLIPKNOW knowledge-augmented prompts (defaults.py:887-894)
     c.GLIPKNOW = CfgNode()

@@ -95,6 +95,17 @@ class WordPieceTokenizer:
                 vocab[line.rstrip("\n")] = i
         return cls(vocab, vocab_size=len(vocab))
 
+    def convert_tokens_to_ids(self, tokens):
+        """HF-tokenizer-compatible lookup (str or list of str)."""
+        if isinstance(tokens, str):
+            if self.vocab is not None:
+                return self.vocab.get(tokens, self.unk_token_id)
+            return {
+                "[PAD]": self.pad_token_id, "[CLS]": self.cls_token_id,
+                "[SEP]": self.sep_token_id, "[MASK]": self.mask_token_id,
+            }.get(tokens, self.unk_token_id)
+        return [self.convert_tokens_to_ids(t) for t in tokens]
+
     # ---- basic tokenization with offsets -----------------------------------
     def _basic_tokenize(self, text: str):
         """Lowercase + accent-strip + punctuation-split, tracking offsets."""

@@ -540,6 +540,16 @@ def import_gdino_checkpoint(
     enc_layers: int = 6, dec_layers: int = 6,
 ):
     """groundingdino_swint_ogc.pth / MQ-GroundingDINO .pth -> flax tree."""
-    return _import_with_rules(
+    new_params, report = _import_with_rules(
         params, state, build_gdino_rule_table(enc_layers, dec_layers), strict
     )
+    # The reference registers ONE bbox MLP both as model.bbox_embed and as
+    # transformer.decoder.bbox_embed (groundingdino.py:247-265), so the state
+    # dict carries the same tensors under two spellings; the decoder alias is
+    # consumed-by-proxy, not an unimported weight.
+    report["unused"] = [
+        k for k in report["unused"]
+        if not k.startswith("transformer.decoder.bbox_embed.")
+        and not k.startswith("transformer.decoder.class_embed.")
+    ]
+    return new_params, report

@@ -379,6 +379,8 @@ class MQGroundingDINO(nn.Module):
     # [CLS] [SEP] . ?  ids (bertwarper.py special tokens; groundingdino.py:196
     # derives them from the tokenizer — override for non-standard vocabs)
     special_ids: Sequence[int] = (101, 102, 1012, 1029)
+    # append encoder/two-stage intermediates to the output dict (parity tests)
+    debug_outputs: bool = False
     dtype: Dtype = jnp.float32
 
     @classmethod
@@ -416,10 +418,12 @@ class MQGroundingDINO(nn.Module):
 
     def setup(self):
         c = self.hidden_dim
+        # GDINO's swin norms only out_indices=(1, 2, 3)
+        # (backbone.py:140,202, defaults.py:951) — no norm0
         self.backbone = SwinTransformer(
             embed_dim=self.embed_dim, depths=self.depths,
             num_heads=self.num_heads_swin, window_size=self.window_size,
-            norm_stage0=True, dtype=self.dtype, name="backbone",
+            norm_stage0=False, dtype=self.dtype, name="backbone",
         )
         n_proj = min(self.num_feature_levels, 4)
         self.input_proj_convs = [
@@ -447,14 +451,18 @@ class MQGroundingDINO(nn.Module):
             "level_embed", nn.initializers.normal(1.0),
             (self.num_feature_levels, c),
         )
+        # fusion embed = dim_feedforward // 2, heads = nhead // 2; the text
+        # enhancer likewise halves both (transformer.py:89-103)
         self.enc_fusions = [
-            FusionLayer(v_dim=c, l_dim=c, embed_dim=1024, num_heads=4,
-                        dtype=self.dtype, name=f"enc_fusion_{i}")
+            FusionLayer(v_dim=c, l_dim=c, embed_dim=self.d_ffn // 2,
+                        num_heads=self.n_heads // 2, dtype=self.dtype,
+                        name=f"enc_fusion_{i}")
             for i in range(self.enc_layers)
         ]
         self.enc_texts = [
-            TextEnhancerLayer(d_model=c, n_heads=self.n_heads, d_ffn=1024,
-                              dtype=self.dtype, name=f"enc_text_{i}")
+            TextEnhancerLayer(d_model=c, n_heads=self.n_heads // 2,
+                              d_ffn=self.d_ffn // 2, dtype=self.dtype,
+                              name=f"enc_text_{i}")
             for i in range(self.enc_layers)
         ]
         self.enc_deforms = [
@@ -648,7 +656,7 @@ class MQGroundingDINO(nn.Module):
             outputs_coords.append(new_ref)
             reference = jax.lax.stop_gradient(new_ref)
 
-        return {
+        out = {
             "pred_logits": outputs_classes[-1],   # (B, Q, max_text_len)
             "pred_boxes": outputs_coords[-1],     # (B, Q, 4) cxcywh in [0,1]
             "aux_logits": outputs_classes[:-1],
@@ -657,6 +665,13 @@ class MQGroundingDINO(nn.Module):
             "enc_boxes": jax.nn.sigmoid(enc_boxes_unsig),
             "lang": lang,
         }
+        if self.debug_outputs:
+            out["dbg_memory"] = memory
+            out["dbg_text"] = text
+            out["dbg_output_memory"] = output_memory
+            out["dbg_topk_idx"] = topk_idx
+            out["dbg_init_ref"] = init_ref
+        return out
 
     def __call__(
         self,

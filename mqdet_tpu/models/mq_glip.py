@@ -69,6 +69,7 @@ class MQGLIP(nn.Module):
     use_dyfuse: bool = True
     use_dyrelu: bool = True
     deform_radius: int = 2  # TPU.DEFORM_RADIUS; see utils/calibrate.py
+    offset_compat: str = "strided"  # TPU.DEFORM_OFFSET_COMPAT
     early_fuse: bool = True
     use_fused_dot_product: bool = True
     use_mlm: bool = False  # FUSE_CONFIG.MLM_LOSS
@@ -145,6 +146,7 @@ class MQGLIP(nn.Module):
             use_dyfuse=cfg.MODEL.DYHEAD.USE_DYFUSE,
             use_dyrelu=cfg.MODEL.DYHEAD.USE_DYRELU,
             deform_radius=cfg.TPU.DEFORM_RADIUS,
+            offset_compat=cfg.TPU.DEFORM_OFFSET_COMPAT,
             early_fuse=cfg.MODEL.DYHEAD.FUSE_CONFIG.EARLY_FUSE_ON,
             use_fused_dot_product=(
                 cfg.MODEL.DYHEAD.FUSE_CONFIG.USE_FUSED_FEATURES_DOT_PRODUCT
@@ -270,6 +272,7 @@ class MQGLIP(nn.Module):
             use_dyfuse=self.use_dyfuse,
             use_dyrelu=self.use_dyrelu,
             deform_radius=self.deform_radius,
+            offset_compat=self.offset_compat,
             early_fuse=self.early_fuse,
             use_fused_dot_product=self.use_fused_dot_product,
             use_mlm=self.use_mlm,

@@ -9,9 +9,11 @@ TPU-first choices:
   * NHWC; deformable conv is the gather+matmul composite in ops/deform_conv.
   * The reference predicts DCN offsets at level L and applies them to convs
     whose outputs live at L-1-sized or L+1-sized grids. For the stride-2 down
-    conv the grids already agree; for the up conv we bilinearly resample the
-    offset field to the finer grid (the reference CUDA kernel silently reads
-    the coarse buffer with the wrong strides — not behavior worth cloning).
+    conv the grids already agree; for the up conv the reference CUDA kernel
+    reads the coarse buffer with output-derived (wrong) strides. Default
+    offset_compat="strided" replicates that reinterpretation bit-for-bit
+    (released checkpoints were trained with it); "resample" bilinearly
+    resamples the offset field instead (cleaner, off-reference).
   * The dot-product head computes one (sum(HW), T) matmul per level on the
     MXU; the +-50000 clamps are kept (cheap, preserves parity of extreme
     logits).
@@ -36,6 +38,7 @@ from mqdet_tpu.models.layers import (
 from mqdet_tpu.ops.deform_conv import (
     modulated_deform_conv,
     modulated_deform_conv_window,
+    reinterpret_offsets_strided,
     resize_offsets,
 )
 from mqdet_tpu.ops.pallas.deform_conv_pallas import modulated_deform_conv_pallas
@@ -55,6 +58,12 @@ class DeformConvGN(nn.Module):
     stride: int = 1
     groups: int = 16
     radius: int = 2
+    # Offsets predicted at level L are applied to convs over levels L±1
+    # (vldyhead.py:218-227). "strided" replicates the reference CUDA kernel's
+    # flat-buffer reinterpretation (deform_conv_kernel_cuda.cu:607-620) that
+    # the released checkpoints were trained with; "resample" bilinearly
+    # resamples the offset field to the output grid (cleaner, off-reference).
+    offset_compat: str = "strided"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +79,10 @@ class DeformConvGN(nn.Module):
         ho = -(-x.shape[1] // self.stride)
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
-            offset, mask = resize_offsets(offset, mask, ho, wo)
+            if self.offset_compat == "strided":
+                offset, mask = reinterpret_offsets_strided(offset, mask, ho, wo)
+            else:
+                offset, mask = resize_offsets(offset, mask, ho, wo)
 
         # Implementation dispatch (MQDET_DEFORM_IMPL=pallas|window|gather):
         #   pallas — VMEM-resident Pallas kernel (default on TPU: compiles in
@@ -132,6 +144,7 @@ class DyConv(nn.Module):
     use_dyrelu: bool = True
     gn_groups: int = 16
     deform_radius: int = 2
+    offset_compat: str = "strided"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -142,7 +155,9 @@ class DyConv(nn.Module):
             if self.use_deform:
                 return DeformConvGN(
                     features, stride=stride, groups=self.gn_groups,
-                    radius=self.deform_radius, dtype=self.dtype, name=name,
+                    radius=self.deform_radius,
+                    offset_compat=self.offset_compat,
+                    dtype=self.dtype, name=name,
                 )
             return PlainConvGN(
                 features, stride=stride, groups=self.gn_groups,
@@ -223,6 +238,7 @@ class VLDyHead(nn.Module):
     use_dyfuse: bool = True
     use_dyrelu: bool = True
     deform_radius: int = 2
+    offset_compat: str = "strided"
     early_fuse: bool = True
     # FUSE_CONFIG.TYPE (vldyhead.py:381-431): MHA-B (bidirectional, the
     # GLIP/MQ-Det setting), MHA-S (text->image only), SCAN, FILM
@@ -330,6 +346,7 @@ class VLDyHead(nn.Module):
                 use_dyrelu=self.use_dyrelu,
                 gn_groups=self.gn_groups,
                 deform_radius=self.deform_radius,
+                offset_compat=self.offset_compat,
                 dtype=self.dtype,
                 name=f"dyconv_tower_{i}",
             )(visual)

@@ -115,6 +115,37 @@ def modulated_deform_conv(
     return out
 
 
+def reinterpret_offsets_strided(
+    offset: jnp.ndarray, mask: jnp.ndarray, ho: int, wo: int
+):
+    """Reference-exact offset handling for mismatched resolutions.
+
+    DyConv predicts offsets at level L but applies them to the conv over
+    level L+1 (vldyhead.py:224), whose output grid is smaller. The reference
+    CUDA kernel (deform_conv_kernel_cuda.cu:607-620) indexes the offset/mask
+    buffers with strides derived from the OUTPUT size, i.e. it reinterprets
+    the flat NCHW buffer with the wrong shape. The released checkpoints were
+    trained under that reinterpretation, so replicate it bit-for-bit AT THE
+    REFERENCE'S EVAL BATCH SIZE (1): each item's own channel-major flat view,
+    first C*Ho*Wo elements. (At CUDA batch > 1 the kernel's wrong per-image
+    stride additionally bleeds across items; our batch axis carries logically
+    independent chunk forwards, so batch-1 semantics per item is the faithful
+    reproduction of the reference eval path.)
+    """
+    b, hl, wl, co = offset.shape
+    cm = mask.shape[-1]
+
+    def misread(x, ch):
+        flat = x.transpose(0, 3, 1, 2).reshape(b, ch * hl * wl)
+        return (
+            flat[:, : ch * ho * wo]
+            .reshape(b, ch, ho, wo)
+            .transpose(0, 2, 3, 1)
+        )
+
+    return misread(offset, co), misread(mask, cm)
+
+
 def resize_offsets(offset: jnp.ndarray, mask: jnp.ndarray, ho: int, wo: int):
     """Resize an (offset, mask) pair to a new output resolution.
 

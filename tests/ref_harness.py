@@ -125,6 +125,88 @@ def _torch_ml_nms(dets, thresh):
     return torch.as_tensor(keep, dtype=torch.int64)
 
 
+def _torch_modulated_deform_conv(
+    input, offset, mask, weight, bias=None, stride=1, padding=0, dilation=1,
+    groups=1, deformable_groups=1,
+):
+    """Pure-torch twin of the reference CUDA DCNv2
+    (csrc/cuda/deform_conv_kernel_cuda.cu modulated_deformable_im2col,
+    :578-638): 4-corner bilinear sampling, zero outside (-1, H) strict,
+    modulation multiply, then the (K*C, Cout) matmul.
+
+    CRITICAL parity detail: the CUDA kernel indexes the offset/mask buffers
+    with strides derived from the OUTPUT size (:607-617). VLDyHead's DyConv
+    applies level-L offsets to the conv over level L+1 (vldyhead.py:224),
+    whose output is smaller — the kernel then reinterprets the flat buffer
+    with the wrong strides. That reinterpretation is replicated here (flat
+    view, first B*C*Ho*Wo elements) because the released checkpoints were
+    trained with it.
+    """
+    import torch
+
+    assert groups == 1 and deformable_groups == 1 and dilation == 1
+    b, c, h, w = input.shape
+    cout, _, kh, kw = weight.shape
+    k = kh * kw
+    ho = (h + 2 * padding - kh) // stride + 1
+    wo = (w + 2 * padding - kw) // stride + 1
+    if offset.shape[2:] != (ho, wo):
+        offset = offset.reshape(-1)[: b * 2 * k * ho * wo].reshape(
+            b, 2 * k, ho, wo
+        )
+        mask = mask.reshape(-1)[: b * k * ho * wo].reshape(b, k, ho, wo)
+
+    ys = torch.arange(ho, dtype=input.dtype) * stride - padding
+    xs = torch.arange(wo, dtype=input.dtype) * stride - padding
+    tap_y = torch.arange(kh, dtype=input.dtype)
+    tap_x = torch.arange(kw, dtype=input.dtype)
+    # (K, Ho, Wo) base positions; offset channels interleave (dy, dx) per tap
+    base_y = (ys[None, :, None] + tap_y.repeat_interleave(kw)[:, None, None])
+    base_x = (xs[None, None, :] + tap_x.repeat(kh)[:, None, None])
+    off = offset.reshape(b, k, 2, ho, wo)
+    sy = base_y[None] + off[:, :, 0]
+    sx = base_x[None] + off[:, :, 1]
+
+    inb = (sy > -1) & (sy < h) & (sx > -1) & (sx < w)
+    y0 = torch.floor(sy)
+    x0 = torch.floor(sx)
+    ly, lx = sy - y0, x0.neg().add_(sx)  # sx - x0
+
+    flat = input.reshape(b, c, h * w)
+
+    def corner(yy, xx):
+        ok = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+        yc = yy.clamp(0, h - 1).long()
+        xc = xx.clamp(0, w - 1).long()
+        idx = (yc * w + xc).reshape(b, 1, -1).expand(b, c, -1)
+        v = flat.gather(2, idx).reshape(b, c, k, ho, wo)
+        return v * ok[:, None]
+
+    val = (
+        corner(y0, x0) * ((1 - ly) * (1 - lx))[:, None]
+        + corner(y0, x0 + 1) * ((1 - ly) * lx)[:, None]
+        + corner(y0 + 1, x0) * (ly * (1 - lx))[:, None]
+        + corner(y0 + 1, x0 + 1) * (ly * lx)[:, None]
+    )
+    val = val * inb[:, None] * mask[:, None]  # (B, C, K, Ho, Wo)
+    out = torch.einsum("bckn,ock->bon", val.reshape(b, c, k, ho * wo),
+                       weight.reshape(cout, c, k))
+    out = out.reshape(b, cout, ho, wo)
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def torch_mdconv_apply(input, offset, mask, weight, bias=None, stride=1,
+                       padding=0, dilation=1, groups=1, deformable_groups=1):
+    """Signature-compatible stand-in for ModulatedDeformConvFunction.apply
+    (layers/deform_conv.py:264)."""
+    return _torch_modulated_deform_conv(
+        input, offset, mask, weight, bias, stride, padding, dilation, groups,
+        deformable_groups,
+    )
+
+
 def install_stubs():
     """Idempotently install every stub the reference import graph needs."""
     global _installed
@@ -305,6 +387,12 @@ def install_stubs():
         return boxlist[keep].convert(mode)
 
     blo.boxlist_ml_nms = _fixed_boxlist_ml_nms
+
+    # CPU stand-in for the CUDA DCNv2 (ModulatedDeformConv.forward calls the
+    # module-global `modulated_deform_conv`, layers/deform_conv.py:379-382)
+    import maskrcnn_benchmark.layers.deform_conv as mdc
+
+    mdc.modulated_deform_conv = torch_mdconv_apply
     _installed = True
 
 

@@ -64,6 +64,7 @@ def model_and_params():
     return m, params, batch
 
 
+@pytest.mark.slow  # ~80s cold compile
 def test_measure_matches_direct_capture(model_and_params):
     """measure_max_deform_offset equals a hand-rolled capture of the same
     offset tensors."""

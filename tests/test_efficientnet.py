@@ -42,6 +42,7 @@ def test_spec_stage_merging():
     assert ks[3] == [3, 3, 3, 5, 5, 5]
 
 
+@pytest.mark.slow  # ~39s
 def test_efficientnet_b0_shapes():
     m = EfficientNet(version="b0")
     x = jnp.zeros((1, 64, 64, 3))
@@ -119,6 +120,7 @@ def test_registry_surface_matches_reference():
     assert expected <= set(BACKBONES)
 
 
+@pytest.mark.slow  # ~72s
 def test_registry_eff_fpn_forward():
     cfg = default_config()
     cfg.MODEL.BACKBONE.CONV_BODY = "EFFICIENT3-FPN-RETINANET"
@@ -145,6 +147,7 @@ def test_registry_eff_bifpn_forward():
     assert len(outs) == 5 and outs[0].shape == (1, 8, 8, 64)
 
 
+@pytest.mark.slow  # ~34s
 def test_registry_resnet_retinanet_forward():
     cfg = default_config()
     cfg.MODEL.BACKBONE.CONV_BODY = "R-50-RETINANET"

@@ -25,6 +25,7 @@ def _fabricate(ref_key: str, leaf_shape) -> tuple:
     return tuple(leaf_shape)
 
 
+@pytest.mark.slow  # ~74s
 def test_gdino_import_round_trip():
     from test_gdino import tiny_gdino
 
