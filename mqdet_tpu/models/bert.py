@@ -57,9 +57,9 @@ class MaskedCrossAttention(nn.Module):
         inner = self.dim_head * self.heads
         h = self.heads
 
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         if self.norm_kv:
-            vision = nn.LayerNorm(dtype=self.dtype, name="norm_kv_ln")(vision)
+            vision = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kv_ln")(vision)
 
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         if self.share_kv:
@@ -377,9 +377,13 @@ class QVBertModel(nn.Module):
             x = jnp.where(is_masked, mt.astype(x.dtype), x)
 
         if attention_matrix is not None:
-            # sub-sentence block-diagonal masks (GDINO bertwarper.py:271-320)
-            allowed = attention_matrix & (attention_mask[:, None, :] > 0)
-            attn_bias = (1.0 - allowed[:, None].astype(jnp.float32)) * -10000.0
+            # sub-sentence block-diagonal masks (GDINO bertwarper.py:271-320);
+            # the reference feeds the matrix ALONE as the BERT attention mask
+            # (groundingdino.py:550-551) — padding tokens are already
+            # self-only blocks, so no intersection with attention_mask
+            attn_bias = (
+                1.0 - attention_matrix[:, None].astype(jnp.float32)
+            ) * -10000.0
         else:
             attn_bias = (
                 1.0 - attention_mask[:, None, None, :].astype(jnp.float32)

@@ -142,8 +142,8 @@ class BiAttentionBlock(nn.Module):
     def __call__(self, v, l, attention_mask_l=None, deterministic=True):
         gamma_v = self.param("gamma_v", nn.initializers.constant(self.init_value), (self.v_dim,))
         gamma_l = self.param("gamma_l", nn.initializers.constant(self.init_value), (self.l_dim,))
-        vn = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
-        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
+        vn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             v_dim=self.v_dim, l_dim=self.l_dim, embed_dim=self.embed_dim,
             num_heads=self.num_heads, dropout=self.dropout, dtype=self.dtype,
@@ -254,8 +254,8 @@ class T2IFuse(nn.Module):
     @nn.compact
     def __call__(self, visual, lang_hidden, lang_masks, deterministic=True):
         flat, sizes = flatten_levels(visual)
-        q = nn.LayerNorm(dtype=self.dtype, name="layer_norm_q_1")(flat)
-        kv = nn.LayerNorm(dtype=self.dtype, name="layer_norm_k_1")(lang_hidden)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_q_1")(flat)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_k_1")(lang_hidden)
         delta = MultiHeadCrossAttention(
             q_dim=self.v_dim, k_dim=self.l_dim, embed_dim=self.embed_dim,
             num_heads=self.num_heads, dtype=self.dtype, name="attn",

@@ -95,22 +95,46 @@ def gen_sineembed_for_position(pos):
 
 def sub_sentence_masks(input_ids, special_ids=(101, 102, 1012, 1029)):
     """generate_masks_with_special_tokens_and_transfer_map
-    (bertwarper.py:271-320): block-diagonal self-attn masks between special
-    tokens + per-phrase position ids. Pure jnp; (B, T) int ids."""
+    (bertwarper.py:271-320), reference-exact:
+
+    Each INTERIOR special token (position in [1, T-2]) terminates a block
+    spanning (previous_special, this_special] — the category tokens plus
+    their own terminator attend to each other; position ids restart at 0 at
+    the block start. Specials at position 0 ([CLS]) or T-1 are self-only
+    with position 0 (bertwarper.py:298-300). Tokens after the last interior
+    special (padding) keep only the identity row and position 0.
+
+    Pure jnp; (B, T) int ids -> (attn (B, T, T) bool, position_ids (B, T)).
+    """
     b, t = input_ids.shape
     special = jnp.zeros_like(input_ids, bool)
     for s in special_ids:
         special = special | (input_ids == s)
-    # segment id = cumulative count of special tokens seen (inclusive)
-    seg = jnp.cumsum(special.astype(jnp.int32), axis=1)
-    # token i attends to j iff same segment, plus special tokens attend self
-    same_seg = seg[:, :, None] == seg[:, None, :]
-    attn = same_seg | jnp.eye(t, dtype=bool)[None]
-    # position ids restart after each special token
-    idx = jnp.arange(t)[None]
-    last_special = jnp.where(special, idx, -1)
-    last_special = jax.lax.associative_scan(jnp.maximum, last_special, axis=1)
-    position_ids = jnp.where(special, 0, idx - last_special)
+
+    idx = jnp.arange(t)[None]  # (1, T)
+    interior = special & (idx > 0) & (idx < t - 1)
+
+    # previous special STRICTLY before each position (any special)
+    prev_incl = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(special, idx, -1), axis=1
+    )
+    prev_strict = jnp.concatenate(
+        [jnp.full((b, 1), -1), prev_incl[:, :-1]], axis=1
+    )
+
+    # next interior special at-or-after each position (the block terminator)
+    big = t + 1
+    nxt = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(interior, idx, big), axis=1, reverse=True
+    )
+
+    # a position belongs to a block iff a terminator exists at-or-after it
+    # and it is not a boundary special ([CLS] / final slot)
+    member = (nxt < big) & ~(special & ~interior)
+    block = jnp.where(member, nxt, -idx - 1)  # unique sentinel per non-member
+    attn = (block[:, :, None] == block[:, None, :]) | jnp.eye(t, dtype=bool)[None]
+
+    position_ids = jnp.where(member, idx - prev_strict - 1, 0)
     return attn, position_ids
 
 
@@ -208,11 +232,11 @@ class TextEnhancerLayer(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, dtype=self.dtype, name="out")(out)
-        text = nn.LayerNorm(dtype=self.dtype, name="norm1")(text + out)
+        text = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(text + out)
         y = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(text)
         y = nn.relu(y)
         y = nn.Dense(c, dtype=self.dtype, name="linear2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(text + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(text + y)
 
 
 class FusionLayer(nn.Module):
@@ -233,8 +257,8 @@ class FusionLayer(nn.Module):
         # NOTE: unlike GLIP's BiAttentionBlock (fuse_helper.py, residual on
         # the raw inputs), GDINO's residual base is the NORMALIZED features
         # (fuse_modules.py:287-295: v = LN(v); ... v = v + gamma*dv)
-        vn = nn.LayerNorm(dtype=self.dtype, name="layer_norm_v")(v)
-        ln = nn.LayerNorm(dtype=self.dtype, name="layer_norm_l")(l)
+        vn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             v_dim=self.v_dim, l_dim=self.l_dim, embed_dim=self.embed_dim,
             num_heads=self.num_heads, dtype=self.dtype, name="attn",
@@ -259,11 +283,11 @@ class DeformableEncoderLayer(nn.Module):
             num_levels=self.n_levels, num_points=self.n_points,
             dtype=self.dtype, name="self_attn",
         )(src + pos, src, reference_points, spatial_shapes)
-        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src + src2)
+        src = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(src + src2)
         y = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(src)
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(src + y)
 
 
 class DecoderLayer(nn.Module):
@@ -296,7 +320,7 @@ class DecoderLayer(nn.Module):
         sa = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
         sa = sa.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, q, c)
         sa = nn.Dense(c, dtype=self.dtype, name="sa_out")(sa)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + sa)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tgt + sa)
 
         # text cross attention
         qh = split(nn.Dense(c, dtype=self.dtype, name="ca_text_q")(tgt + query_pos))
@@ -309,7 +333,7 @@ class DecoderLayer(nn.Module):
         ca = jnp.einsum("bhqk,bhkd->bhqd", probs, vh, preferred_element_type=jnp.float32)
         ca = ca.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b, q, c)
         ca = nn.Dense(c, dtype=self.dtype, name="ca_text_out")(ca)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="catext_norm")(tgt + ca)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="catext_norm")(tgt + ca)
 
         # deformable cross attention over memory
         cross = MSDeformAttn(
@@ -317,12 +341,12 @@ class DecoderLayer(nn.Module):
             num_levels=self.n_levels, num_points=self.n_points,
             dtype=self.dtype, name="cross_attn",
         )(tgt + query_pos, memory, reference_points_input, spatial_shapes)
-        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + cross)
+        tgt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tgt + cross)
 
         y = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
         y = nn.relu(y)
         y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(tgt + y)
 
 
 class MLP(nn.Module):
@@ -473,13 +497,13 @@ class MQGroundingDINO(nn.Module):
             for i in range(self.enc_layers)
         ]
         self.enc_output = nn.Dense(c, dtype=self.dtype, name="enc_output")
-        self.enc_output_norm = nn.LayerNorm(dtype=self.dtype, name="enc_output_norm")
+        self.enc_output_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="enc_output_norm")
         self.enc_out_bbox_embed = MLP(c, 4, dtype=self.dtype, name="enc_out_bbox_embed")
         self.tgt_embed = self.param(
             "tgt_embed", nn.initializers.normal(1.0), (self.num_queries, c)
         )
         self.ref_point_head = MLP(c, c, layers=2, dtype=self.dtype, name="ref_point_head")
-        self.dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")  # shared
+        self.dec_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="dec_norm")  # shared
         self.dec_layers_mods = [
             DecoderLayer(
                 d_model=c, d_ffn=self.d_ffn, n_heads=self.n_heads,

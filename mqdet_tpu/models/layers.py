@@ -154,7 +154,7 @@ class GCPFeedForward(nn.Module):
     def __call__(self, x):
         inner = int(self.dim * self.mult)
         out_dim = self.out_dim if self.out_dim is not None else self.dim
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="linear1")(x)
         x = nn.gelu(x, approximate=False)
         kernel_init = (

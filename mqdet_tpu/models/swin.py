@@ -276,10 +276,10 @@ class SwinBlock(nn.Module):
         shortcut = x
         shortcut_text = x_text
         if x_text is not None:
-            x_text = nn.LayerNorm(dtype=self.dtype, name="norm1_text")(x_text)
+            x_text = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1_text")(x_text)
         if self.version != "v2":
             # v1: pre-norm; v2 normalizes AFTER attention (swint_v2.py)
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
 
         hp = -(-h // ws) * ws
@@ -307,13 +307,13 @@ class SwinBlock(nn.Module):
         x = x[:, :h, :w].reshape(b, h * w, c)
 
         if self.version == "v2":
-            x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
                 x, deterministic=deterministic
             )
             y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                     name="mlp")(x, deterministic=deterministic)
-            y = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(y)
             return x + DropPath(self.drop_path_rate, name="drop_path2")(
                 y, deterministic=deterministic
             )
@@ -321,7 +321,7 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path_rate, name="drop_path1")(
             x, deterministic=deterministic
         )
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype, name="mlp")(
             y, deterministic=deterministic
         )
@@ -335,7 +335,7 @@ class SwinBlock(nn.Module):
         x_text = shortcut_text + DropPath(self.drop_path_rate, name="drop_path1_text")(
             x_text, deterministic=deterministic
         )
-        yt = nn.LayerNorm(dtype=self.dtype, name="norm2_text")(x_text)
+        yt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2_text")(x_text)
         yt = Mlp(int(ct * self.mlp_ratio), ct, dtype=self.dtype, name="mlp_text")(
             yt, deterministic=deterministic
         )
@@ -361,7 +361,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         ho, wo = (h + 1) // 2, (w + 1) // 2
         x = x.reshape(b, ho * wo, 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
         return x, ho, wo
 
@@ -408,7 +408,7 @@ class SwinTransformer(nn.Module):
         hh, ww = x.shape[1], x.shape[2]
         x = x.reshape(b, hh * ww, self.embed_dim)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_embed_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)
@@ -443,7 +443,7 @@ class SwinTransformer(nn.Module):
                 if i_layer == 0 and not self.norm_stage0:
                     out = x
                 else:
-                    out = nn.LayerNorm(dtype=self.dtype, name=f"norm{i_layer}")(x)
+                    out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm{i_layer}")(x)
                 outs.append(out.reshape(b, hh, ww, dim))
 
             if i_layer < len(self.depths) - 1:

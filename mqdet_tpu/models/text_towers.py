@@ -35,12 +35,12 @@ class CLIPResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_bias, deterministic=True):
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         y = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype, name="attn",
         )(y, y, mask=key_padding_bias)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         y = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(y)
         y = quick_gelu(y)
         y = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(y)
@@ -77,7 +77,7 @@ class CLIPTextTransformer(nn.Module):
             x = CLIPResidualBlock(
                 self.width, self.heads, dtype=self.dtype, name=f"resblock_{i}"
             )(x, attn_mask, deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         return {
             "aggregate": x,
             "embedded": x,

