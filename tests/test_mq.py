@@ -238,6 +238,7 @@ def test_gcp_block_variant_knobs(rng):
     assert np.isfinite(np.asarray(out["last_hidden"])).all()
 
 
+@pytest.mark.slow
 def test_learnable_bank_param_and_gradient(rng):
     """VISION_QUERY.LEARNABLE_BANK (query_selector.py:14-24): selector emits
     (row, slot) indices, the model gathers from a trainable bank param, and
