@@ -32,10 +32,9 @@ import os
 import statistics
 import time
 
-# persistent compilation cache: MQ-GLIP-T at 800x1344 compiles ~10 min
-# through the remote-compile tunnel; cached runs start in seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from mqdet_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 A100_BASELINE_IMG_PER_SEC = 0.25  # ~130 ms/forward x 31 chunks (see module doc)
 CHUNKS_PER_IMAGE = 31  # ceil(1203 / 40)

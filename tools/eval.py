@@ -17,7 +17,8 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
+from mqdet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 import numpy as np
 

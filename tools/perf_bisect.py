@@ -20,8 +20,8 @@ import os
 import statistics
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from mqdet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 
 def timed(call, sync, iters=10, warmup=2):

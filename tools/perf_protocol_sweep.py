@@ -6,7 +6,8 @@ import os
 import statistics
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+from mqdet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 
 def main():

@@ -15,7 +15,8 @@ import json
 import os
 import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+from mqdet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 
 TRACE_DIR = "/tmp/mqdet_trace"
 
