@@ -88,6 +88,7 @@ def test_measure_matches_direct_capture(model_and_params):
     assert measured > 0.0
 
 
+@pytest.mark.slow  # ~61s module fixture
 def test_calibration_keeps_radius_when_offsets_small(model_and_params):
     m, params, batch = model_and_params
     from mqdet_tpu.core.config import default_config

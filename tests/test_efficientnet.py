@@ -91,6 +91,7 @@ def test_bifpn_no_attention_is_plain_sum():
     assert not any("_w1" in n or "_w2" in n for n in names)
 
 
+@pytest.mark.slow  # ~38s
 def test_effnetfpn_compound0():
     m = EffNetFPN(compound_coef=0, start_from=3)
     x = jnp.zeros((1, 64, 64, 3))
@@ -135,6 +136,7 @@ def test_registry_eff_fpn_forward():
     assert all(o.shape[-1] == 64 for o in outs)
 
 
+@pytest.mark.slow  # ~79s
 def test_registry_eff_bifpn_forward():
     cfg = default_config()
     cfg.MODEL.BACKBONE.CONV_BODY = "EFFICIENT3-BIFPN-RETINANET"

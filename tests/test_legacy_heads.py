@@ -17,6 +17,7 @@ def _feats(rng, c=32):
             for h, w in [(16, 16), (8, 8), (4, 4)]]
 
 
+@pytest.mark.slow  # ~11s, legacy arch
 def test_fcos_shapes(rng):
     m = FCOSHead(num_classes=5, channels=32, num_convs=2)
     f = _feats(rng)

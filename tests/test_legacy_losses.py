@@ -131,6 +131,7 @@ _GT = (
 
 
 @pytest.mark.parametrize("arch", ["fcos", "retina", "atss"])
+@pytest.mark.slow  # ~17s/arch, legacy arch
 def test_losses_finite_with_padded_gt(arch, rng):
     levels = [(8, 8), (4, 4)]
     image_hw = (64, 64)

@@ -181,6 +181,7 @@ def test_swin_v2_variant(rng):
     assert not np.isnan(np.asarray(outs[1])).any()
 
 
+@pytest.mark.slow  # ~34s, non-default fuse variants
 def test_vldyhead_fuse_type_variants(rng):
     """FUSE_CONFIG.TYPE dispatch (reference vldyhead.py:381-431): every
     variant produces the standard per-level head outputs."""

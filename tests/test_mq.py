@@ -174,6 +174,7 @@ def test_wordpiece_fallback_hash_vocab_stable():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow  # ~18s, non-default GCP knobs
 def test_gcp_block_variant_knobs(rng):
     """VISION_QUERY knob variants of the GCP stack (modeling_bert_new.py):
     NO_CAT=False cat-gate, FIX_ATTN_GATE const, ADD_ADAPT_LAYER, SHARE_KV,

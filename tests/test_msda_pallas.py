@@ -51,6 +51,7 @@ def _encoder_inputs(rng, shapes, within_window=True, b=2):
     return jnp.asarray(value), jnp.asarray(loc), jnp.asarray(attn)
 
 
+@pytest.mark.slow  # ~26s; interpret-mode on CPU, real check is on-TPU
 def test_encoder_pallas_matches_composite(rng):
     value, loc, attn = _encoder_inputs(rng, SHAPES)
     want = ms_deform_attn_sample(value, SHAPES, loc, attn)
@@ -100,6 +101,7 @@ def test_empty_pallas_levels_is_pure_gather(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow  # ~26s
 def test_dispatch_env_routing(rng, monkeypatch):
     """MQDET_MSDA_IMPL routing: gather on CPU by default; pallas_interpret
     forces the kernel; decoder-shaped queries always gather."""

@@ -7,6 +7,7 @@ import pytest
 from mqdet_tpu.models.resnet import ResNet, resnet50
 
 
+@pytest.mark.slow  # ~14s, optional backbone
 def test_resnet50_shapes(rng):
     m = ResNet(depths=(1, 1, 1, 1))
     x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))

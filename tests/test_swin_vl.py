@@ -23,6 +23,7 @@ def _tiny(version):
     )
 
 
+@pytest.mark.slow  # ~24s/variant
 @pytest.mark.parametrize("version", ["vl", "v2_vl"])
 def test_vl_forward_shapes(version):
     m = _tiny(version)
