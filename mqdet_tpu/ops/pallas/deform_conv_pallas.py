@@ -253,26 +253,179 @@ def _kernel_v2(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("stride", "radius", "block_rows", "interpret", "version"),
-)
-def modulated_deform_conv_pallas(
+def _kernel_v5(
+    bounds_ref,  # SMEM (1, 1, 9, 4) i32: per tap [dy0, dy1, dx0, dx1] incl.
+    rely_ref,    # (1, BR*Wp, 9)  rel_y (f32)
+    relxm_ref,   # (1, BR*Wp, 18) lanes 0:9 rel_x, 9:18 modulation (f32)
+    xp_ref,      # (B, S, S, Hp2, Wp2, C) phase-decomposed padded input (ANY)
+    w_ref,       # (9, C, Cout)
+    b_ref,       # (1, Cout)
+    out_ref,     # (1, BR*Wp, Cout)
+    band,        # scratch VMEM (2, S, S, BAND_ROWS, Wp2, C) double-buffered
+    band_sh,     # scratch VMEM (DSZ, S, BAND_ROWS, Wp, C) x-shifted copies
+    acc,         # scratch VMEM (1, BR*Wp, C) f32, slow-path only
+    sems,        # DMA semaphore array (2,)
+    *,
+    br: int,
+    wp: int,
+    c: int,
+    dsz: int,
+    d_lo: int,
+    stride: int,
+    band_rows: int,
+    nblk: int,
+):
+    """v2 with a 2x2 fast path that bypasses the accumulator entirely.
+
+    The hat has support 2, so per OUTPUT POSITION exactly a 2x2 integer-shift
+    cell contributes; the per-(block, tap) bounds only exceed a 2x2 span when
+    offsets vary WITHIN one block. v2 pays, per tap, an acc zeroing pass +
+    one f32 read-modify-write pass per cell + an acc read for the matmul
+    (~48 B/elem of VMEM traffic at a 2x2). Here the 4 hat terms are one SSA
+    expression feeding the MXU matmul directly — no acc traffic at all
+    (~8 B/elem). Exactness: any shift outside the true bounds has hat == 0
+    for every position in the block, so clamping the 2x2 base into range
+    never changes the value. The dynamic-span slow path (v2's loops) runs
+    under pl.when and its result is selected by a scalar where().
+
+    MEASURED NEGATIVE on v5e (see PERF.md): a block spans the full padded
+    width (168+ cols), and real offset fields vary enough across it that the
+    2x2 condition almost never holds — the fast expression is then computed
+    and discarded on top of the slow path (rand: 6.44 vs v2 5.55 ms; smooth:
+    6.08 vs 5.05 ms). Exact (bit-identical, tested); kept for sweeps.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    step = bi * nblk + i
+    nb_total = pl.num_programs(0) * nblk
+    slot = jax.lax.rem(step, 2)
+    k = 9
+
+    def dma_for(stp, slt):
+        bb = jax.lax.div(stp, nblk)
+        ii = jax.lax.rem(stp, nblk)
+        return pltpu.make_async_copy(
+            xp_ref.at[bb, :, :, pl.ds(ii * br, band_rows)],
+            band.at[slt],
+            sems.at[slt],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(step, slot).start()
+
+    dma_for(step, slot).wait()
+
+    @pl.when(step + 1 < nb_total)
+    def _():
+        dma_for(step + 1, 1 - slot).start()
+
+    for dx in range(dsz):
+        pxs, bxs = dx % stride, dx // stride
+        for py in range(stride):
+            band_sh[dx, py] = band[slot, py, pxs, :, bxs : bxs + wp, :]
+
+    mm_prec = (
+        jax.lax.Precision.HIGHEST if w_ref.dtype == jnp.float32 else None
+    )
+    out = b_ref[0][None, :].astype(jnp.float32) + jnp.zeros(
+        (br * wp, b_ref.shape[1]), jnp.float32
+    )
+
+    def rd(dy, dx):
+        """(br*wp, c) f32 slice of the shifted band at dynamic (dy, dx)."""
+        if stride == 1:
+            py, by = 0, dy
+        else:
+            py = jax.lax.rem(dy, stride)
+            by = jax.lax.div(dy, stride)
+        sl = band_sh[dx, py, pl.ds(by, br), :, :]
+        return sl.reshape(br * wp, c).astype(jnp.float32)
+
+    for kk in range(k):
+        rely_k = rely_ref[0, :, kk : kk + 1]                    # (N, 1)
+        relx_k = relxm_ref[0, :, kk : kk + 1]                   # (N, 1)
+        mskh_k = relxm_ref[0, :, k + kk : k + kk + 1]           # (N, 1)
+        dy0 = bounds_ref[0, 0, kk, 0]
+        dy1 = bounds_ref[0, 0, kk, 1]
+        dx0 = bounds_ref[0, 0, kk, 2]
+        dx1 = bounds_ref[0, 0, kk, 3]
+        is_fast = ((dy1 - dy0) <= 1) & ((dx1 - dx0) <= 1)
+
+        # ---- slow path: v2's dynamic-bound loops into the scratch acc ----
+        @pl.when(jnp.logical_not(is_fast))
+        def _():
+            acc[0] = jnp.zeros((br * wp, c), jnp.float32)
+
+            def row_shift(dy, _):
+                dyf = (d_lo + dy).astype(jnp.float32)
+                hym = jnp.maximum(0.0, 1.0 - jnp.abs(rely_k - dyf)) * mskh_k
+
+                def col_shift(dx, _):
+                    hx = jnp.maximum(
+                        0.0,
+                        1.0
+                        - jnp.abs(relx_k - (d_lo + dx).astype(jnp.float32)),
+                    )
+                    acc[0] += (hym * hx) * rd(dy, dx)
+                    return 0
+
+                jax.lax.fori_loop(dx0, dx1 + 1, col_shift, 0)
+                return 0
+
+            jax.lax.fori_loop(dy0, dy1 + 1, row_shift, 0)
+
+        # ---- fast path: 4 hat terms, one expression, no acc ----
+        dyb = jnp.minimum(dy0, dsz - 2)
+        dxb = jnp.minimum(dx0, dsz - 2)
+        hy0 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(rely_k - (d_lo + dyb).astype(jnp.float32))
+        ) * mskh_k
+        hy1 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(rely_k - (d_lo + dyb + 1).astype(jnp.float32))
+        ) * mskh_k
+        hx0 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(relx_k - (d_lo + dxb).astype(jnp.float32))
+        )
+        hx1 = jnp.maximum(
+            0.0, 1.0 - jnp.abs(relx_k - (d_lo + dxb + 1).astype(jnp.float32))
+        )
+        fast = (
+            (hy0 * hx0) * rd(dyb, dxb)
+            + (hy0 * hx1) * rd(dyb, dxb + 1)
+            + (hy1 * hx0) * rd(dyb + 1, dxb)
+            + (hy1 * hx1) * rd(dyb + 1, dxb + 1)
+        )
+
+        sampled = jnp.where(is_fast, fast, acc[0])
+        out += jnp.dot(
+            sampled.astype(w_ref.dtype), w_ref[kk],
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )
+
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _mdc_pallas_core(
     x: jnp.ndarray,
     offset: jnp.ndarray,
     mask: jnp.ndarray,
     weight: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,
-    stride: int = 1,
-    radius: int = 2,
-    block_rows: int = 8,
-    interpret: bool = False,
-    version: int = 2,
+    bias: Optional[jnp.ndarray],
+    stride: int,
+    radius: int,
+    block_rows: int,
+    interpret: bool,
+    version: int,
+    prepadded: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in equivalent of modulated_deform_conv_window (3x3, pad 1).
+    """Kernel launch for one (possibly x-tiled) batch of images.
 
-    x: (B, H, W, C); offset: (B, Ho, Wo, 18); mask: (B, Ho, Wo, 9);
-    weight: (3, 3, C, Cout). Returns (B, Ho, Wo, Cout).
+    With prepadded=True, x already carries the pad_lo margin on both spatial
+    axes and at least the (need_h, need_w) extent the phase decomposition
+    slices out — used by the x-tiling wrapper, whose tile windows overlap and
+    therefore cannot be produced by the zero-pad below.
     """
     b, h, w, c = x.shape
     ho, wo = offset.shape[1], offset.shape[2]
@@ -342,15 +495,18 @@ def modulated_deform_conv_pallas(
     wp2 = -(-(wp + (dsz - 1) // s + 1) // 8) * 8
     need_h = (hp2 - 1) * s + (s - 1) + 1
     need_w = (wp2 - 1) * s + (s - 1) + 1
-    xp = jnp.pad(
-        x,
-        (
-            (0, 0),
-            (pad_lo, max(0, need_h - h - pad_lo)),
-            (pad_lo, max(0, need_w - w - pad_lo)),
-            (0, 0),
-        ),
-    )
+    if prepadded:
+        xp = x
+    else:
+        xp = jnp.pad(
+            x,
+            (
+                (0, 0),
+                (pad_lo, max(0, need_h - h - pad_lo)),
+                (pad_lo, max(0, need_w - w - pad_lo)),
+                (0, 0),
+            ),
+        )
     xp = xp[:, : hp2 * s, : wp2 * s, :]
     xp = xp.reshape(b, hp2, s, wp2, s, c).transpose(0, 2, 4, 1, 3, 5)
     # (B, S, S, Hp2, Wp2, C)
@@ -364,9 +520,9 @@ def modulated_deform_conv_pallas(
         else jnp.zeros((1, cout), x.dtype)
     )
 
-    if version in (2, 3):
+    if version in (2, 3, 5):
         kernel = functools.partial(
-            _kernel_v2,
+            _kernel_v5 if version == 5 else _kernel_v2,
             br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
             band_rows=band_rows, nblk=nblk,
         )
@@ -426,3 +582,107 @@ def modulated_deform_conv_pallas(
     )(bounds, rely, relxm, xp, w_mat, bias_arr)
 
     return out.reshape(b, ho_pad, wp, cout)[:, :ho, :wo]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stride", "radius", "block_rows", "interpret", "version", "x_tiles",
+    ),
+)
+def modulated_deform_conv_pallas(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    mask: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    radius: int = 2,
+    block_rows: int = 8,
+    interpret: bool = False,
+    version: int = 2,
+    x_tiles: int = 0,
+) -> jnp.ndarray:
+    """Drop-in equivalent of modulated_deform_conv_window (3x3, pad 1).
+
+    x: (B, H, W, C); offset: (B, Ho, Wo, 18); mask: (B, Ho, Wo, 9);
+    weight: (3, 3, C, Cout). Returns (B, Ho, Wo, Cout).
+
+    x_tiles splits the output W axis into that many tiles processed as extra
+    batch entries (0 = auto, currently always 1). Motivation: the kernel's
+    per-(block, tap) integer-shift bounds are unions over an 8-row x
+    FULL-WIDTH block, and the VPU accumulation cost scales with the bounded
+    span (measured: 2.46 ms at uniform 2x2 spans vs 5.93 ms at wide spans,
+    level-0 LVIS shape); narrower tiles tighten each block's bounds. Tiles
+    carry halo input windows so results are exact (bit-identical, tested).
+    MEASURED NEGATIVE on v5e (see PERF.md): per-step fixed costs (band_sh
+    construction, DMA setup, pad waste 96-vs-176 lanes) grow faster than the
+    span tightening saves — smooth offsets: 5.28 ms untiled vs 6.58/6.73 ms
+    at 2/3 tiles; random offsets: 5.48 vs 7.57/8.67 ms. Kept for sweeps.
+    """
+    ho, wo = offset.shape[1], offset.shape[2]
+    if x_tiles == 0:
+        x_tiles = 1
+    if x_tiles <= 1:
+        return _mdc_pallas_core(
+            x, offset, mask, weight, bias,
+            stride, radius, block_rows, interpret, version,
+        )
+
+    b, h, w, c = x.shape
+    cout = weight.shape[-1]
+    t = x_tiles
+    s = stride
+    d_lo = -radius - 1
+    dsz = (radius + 2) - d_lo + 1
+    pad_lo = -d_lo
+    wo_t = -(-wo // t)
+    # Mirror the core's tile-width geometry to size the halo windows.
+    br = min(block_rows, ho)
+    ho_pad = -(-ho // br) * br
+    hp2 = ho_pad + (dsz - 1) // s + 1
+    wp_t = -(-wo_t // 16) * 16
+    wp2_t = -(-(wp_t + (dsz - 1) // s + 1) // 8) * 8
+    need_h = hp2 * s
+    need_w = wp2_t * s
+
+    bot = max(0, need_h - h - pad_lo)
+    right = max(0, (t - 1) * wo_t * s + need_w - pad_lo - w)
+    xpad = jnp.pad(x, ((0, 0), (pad_lo, bot), (pad_lo, right), (0, 0)))
+    xt = jnp.stack(
+        [
+            xpad[:, :need_h, tt * wo_t * s : tt * wo_t * s + need_w]
+            for tt in range(t)
+        ],
+        axis=1,
+    ).reshape(b * t, need_h, need_w, c)
+
+    # Per-tile offset/mask; edge-pad offsets so padded columns never widen
+    # the per-block shift bounds (their output is cropped below).
+    nch_o = offset.shape[-1]
+    off_p = jnp.pad(
+        offset, ((0, 0), (0, 0), (0, t * wo_t - wo), (0, 0)), mode="edge"
+    )
+    msk_p = jnp.pad(mask, ((0, 0), (0, 0), (0, t * wo_t - wo), (0, 0)))
+    off_t = (
+        off_p.reshape(b, ho, t, wo_t, nch_o)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b * t, ho, wo_t, nch_o)
+    )
+    msk_t = (
+        msk_p.reshape(b, ho, t, wo_t, 9)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b * t, ho, wo_t, 9)
+    )
+
+    out = _mdc_pallas_core(
+        xt, off_t, msk_t, weight, bias,
+        stride, radius, block_rows, interpret, version,
+        prepadded=True,
+    )
+    out = (
+        out.reshape(b, t, ho, wo_t, cout)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, ho, t * wo_t, cout)[:, :, :wo]
+    )
+    return out

@@ -335,6 +335,40 @@ def test_pallas_deform_conv_matches_window(rng):
             )
 
 
+@pytest.mark.slow  # ~47s interpret-mode on this 1-CPU box
+def test_pallas_deform_conv_v5_and_xtiles_exact(rng):
+    """The v5 2x2-fast-path kernel and the x-tiling wrapper are bit-exact
+    vs v2 untiled (both are measured-negative perf variants kept for
+    sweeps — see PERF.md; exactness must not rot)."""
+    from mqdet_tpu.ops.pallas.deform_conv_pallas import (
+        modulated_deform_conv_pallas,
+    )
+
+    for stride in (1, 2):
+        h, w_ = 12, 40
+        ho, wo = h // stride, w_ // stride
+        x = jnp.asarray(rng.standard_normal((2, h, w_, 8)).astype(np.float32))
+        # half tight offsets (fast path), half wide (slow path)
+        off = (rng.standard_normal((2, ho, wo, 18)) * 3.0).astype(np.float32)
+        off[:, : ho // 2] *= 0.1
+        offset = jnp.asarray(off)
+        mask = jnp.asarray(rng.random((2, ho, wo, 9)).astype(np.float32))
+        w = jnp.asarray(
+            (rng.standard_normal((3, 3, 8, 16)) * 0.1).astype(np.float32)
+        )
+        bias = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+        ref = modulated_deform_conv_pallas(
+            x, offset, mask, w, bias, stride=stride, radius=2,
+            interpret=True, version=2, x_tiles=1,
+        )
+        for version, tiles in ((5, 1), (2, 3)):
+            got = modulated_deform_conv_pallas(
+                x, offset, mask, w, bias, stride=stride, radius=2,
+                interpret=True, version=version, x_tiles=tiles,
+            )
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_pallas_gather_deform_conv_matches_window(rng):
     """4-corner dynamic-gather kernel (interpret mode; blocked on hw by
     Mosaic single-vreg gather — see module docstring)."""

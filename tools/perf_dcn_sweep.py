@@ -18,8 +18,13 @@ def main():
     rng = np.random.default_rng(0)
     cp = 4
     x0 = jnp.asarray(rng.standard_normal((cp, 100, 168, 256)), jnp.bfloat16)
-    off0 = jnp.asarray(rng.standard_normal((cp, 100, 168, 18)) * 0.5,
-                       jnp.bfloat16)
+    # Two offset regimes: "rand" (white noise per position — worst case for
+    # per-block shift bounds) and "smooth" (low-frequency field upsampled —
+    # what conv-produced offsets look like in production, where per-block
+    # bounds are typically a 2x2 cell).
+    off_rand = rng.standard_normal((cp, 100, 168, 18)) * 0.5
+    low = rng.standard_normal((cp, 7, 11, 18)) * 1.0
+    off_smooth = np.kron(low, np.ones((1, 15, 16, 1)))[:, :100, :168, :]
     m0 = jnp.asarray(rng.uniform(0, 1, (cp, 100, 168, 9)), jnp.bfloat16)
     wt = jnp.asarray(rng.standard_normal((3, 3, 256, 256)) * 0.02, jnp.bfloat16)
     bs = jnp.zeros((256,), jnp.bfloat16)
@@ -43,30 +48,34 @@ def main():
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts) * 1000.0
 
-    ref = None
-    for version in (2, 3):
-        for br in (8,):
-            try:
-                fn = rep8(lambda *a, _v=version, _b=br:
-                          modulated_deform_conv_pallas(
-                              *a, stride=1, radius=2, block_rows=_b,
-                              version=_v))
-                out1 = modulated_deform_conv_pallas(
-                    x0, off0, m0, wt, bs, stride=1, radius=2, block_rows=br,
-                    version=version)
-                if ref is None:
-                    ref = np.asarray(out1, np.float32)
-                else:
-                    err = float(np.max(np.abs(np.asarray(out1, np.float32) - ref)))
-                    print(json.dumps({'version': version, 'block_rows': br, 'max_err_vs_v2ref': err}), flush=True)
-                t = timed(lambda: fn(x0, off0, m0, wt, bs))
-                print(json.dumps({"version": version, "block_rows": br,
-                                  "amortized_ms": (t - 36.7) / 8.0}),
-                      flush=True)
-            except Exception as e:
-                print(json.dumps({"version": version, "block_rows": br,
-                                  "error": f"{type(e).__name__}: {e}"[:200]}),
-                      flush=True)
+    for regime, off_np in (("rand", off_rand), ("smooth", off_smooth)):
+        off0 = jnp.asarray(off_np, jnp.bfloat16)
+        ref = None
+        for version in (2, 5):
+            for br in (8,):
+                try:
+                    fn = rep8(lambda *a, _v=version, _b=br:
+                              modulated_deform_conv_pallas(
+                                  *a, stride=1, radius=2, block_rows=_b,
+                                  version=_v))
+                    out1 = modulated_deform_conv_pallas(
+                        x0, off0, m0, wt, bs, stride=1, radius=2,
+                        block_rows=br, version=version)
+                    rec = {"regime": regime, "version": version,
+                           "block_rows": br}
+                    if ref is None:
+                        ref = np.asarray(out1, np.float32)
+                    else:
+                        rec["max_err_vs_v2ref"] = float(np.max(np.abs(
+                            np.asarray(out1, np.float32) - ref)))
+                    t = timed(lambda: fn(x0, off0, m0, wt, bs))
+                    rec["amortized_ms"] = (t - 36.7) / 8.0
+                    print(json.dumps(rec), flush=True)
+                except Exception as e:
+                    print(json.dumps({"regime": regime, "version": version,
+                                      "block_rows": br,
+                                      "error": f"{type(e).__name__}: {e}"[:200]}),
+                          flush=True)
 
 
 if __name__ == "__main__":
