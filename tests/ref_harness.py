@@ -396,9 +396,37 @@ def install_stubs():
     _installed = True
 
 
+def purge_partial_ref_modules():
+    """Remove synthetic package shells under the reference namespaces.
+
+    The module-level loaders in the parity tests (e.g. test_gdino_parity's
+    _load_ref_transformer/_load_ref_criterion) register bare ModuleType
+    parents like `groundingdino_new.models` so spec-loaded leaves resolve.
+    Those shells never execute the real __init__.py, so a LATER full import
+    (`from groundingdino_new.models import build_model`) fails with
+    "unknown location". Purge anything spec-less and file-less under the two
+    reference namespaces — except the intentional compiled-extension stubs
+    (*._C) — so real imports re-execute the genuine packages. Spec-loaded
+    leaves are kept; re-imported parents re-adopt them lazily."""
+    for name in list(sys.modules):
+        if not (
+            name.split(".")[0] in ("maskrcnn_benchmark", "groundingdino_new")
+        ):
+            continue
+        if name.endswith("._C"):
+            continue
+        m = sys.modules[name]
+        if (
+            getattr(m, "__spec__", None) is None
+            and getattr(m, "__file__", None) is None
+        ):
+            del sys.modules[name]
+
+
 def ref_config():
     """A fresh clone of the reference default config tree."""
     install_stubs()
+    purge_partial_ref_modules()
     from maskrcnn_benchmark.config import cfg
 
     return cfg.clone()
@@ -407,6 +435,7 @@ def ref_config():
 def ref_import(modname):
     """Import a reference module (after stubs)."""
     install_stubs()
+    purge_partial_ref_modules()
     import importlib
 
     return importlib.import_module(modname)
@@ -576,6 +605,7 @@ def build_ref_model(cfg, seed=0, excite_gates=True):
     excite_gates: the GCP gates init to zero (identity blocks); randomize
     them so vision queries actually influence the output."""
     install_stubs()
+    purge_partial_ref_modules()
     import torch
 
     torch.manual_seed(seed)

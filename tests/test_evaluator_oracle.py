@@ -145,6 +145,7 @@ def _ref_fixed_ap(gt_dict, dets):
     return ev.results
 
 
+@pytest.mark.slow  # ~25s; nightly tier
 def test_lvis_fixed_ap_matches_vendored_evaluator():
     from mqdet_tpu.engine.evaluator import DetectionEvaluator
 

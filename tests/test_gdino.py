@@ -160,6 +160,7 @@ def test_gdino_postprocess(rng):
     assert (b >= 0).all()
 
 
+@pytest.mark.slow  # ~11s; nightly tier
 def test_hungarian_match_prefers_overlap():
     from mqdet_tpu.engine.gdino_losses import hungarian_match
 

@@ -329,6 +329,7 @@ def test_fusion_layer_parity():
     np.testing.assert_allclose(np.asarray(got_l), want_l, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow  # ~11s; nightly tier
 def test_decoder_layer_parity():
     """transformer.py:801-931 DeformableTransformerDecoderLayer
     (self-attn -> text cross-attn -> deformable cross-attn -> FFN) vs our
@@ -567,6 +568,7 @@ def test_matcher_indices_parity():
         np.testing.assert_array_equal(np.asarray(q_ind)[:n], ref_q_of_gt)
 
 
+@pytest.mark.slow  # ~14s; nightly tier
 def test_criterion_value_parity():
     """Same predictions/targets through the reference SetCriterion and our
     gdino_set_loss: every (weighted) loss value agrees to 1e-5, including

@@ -249,6 +249,7 @@ def test_query_selector_parity(ref_side, our_side):
     assert list(has_ref[0]) == [1] * len(labels)
 
 
+@pytest.mark.slow  # ~31s; nightly tier
 def test_bf16_drift_bound(assets, ref_side, our_side):
     """VERDICT round-2 ask #6: production runs COMPUTE_DTYPE=bfloat16
     (core/config.py TPU block) while every golden parity test runs f32 —

@@ -19,6 +19,7 @@ from mqdet_tpu.models.mq_glip import MQGLIP, flatten_fpn_features
 TINY_SWIN = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8), window_size=4)
 
 
+@pytest.mark.slow  # ~18s; nightly tier
 def test_swin_output_shapes(rng):
     m = SwinTransformer(**TINY_SWIN)
     x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
@@ -31,6 +32,7 @@ def test_swin_output_shapes(rng):
     assert outs[3].shape == (1, 2, 3, 128)
 
 
+@pytest.mark.slow  # ~10s; nightly tier
 def test_swin_nondivisible_input(rng):
     m = SwinTransformer(**TINY_SWIN)
     x = jnp.asarray(rng.standard_normal((1, 50, 70, 3)).astype(np.float32))

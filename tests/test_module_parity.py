@@ -23,6 +23,7 @@ pytestmark = pytest.mark.skipif(
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # ~26s; nightly tier
 def test_swin_backbone_parity_shifted_windows():
     """Full 4-stage Swin vs reference swint.SwinTransformer on a 96x80 input
     (24x20 patch grid -> window-7 padding on every stage, shift on every
@@ -119,6 +120,7 @@ def _ref_postprocessor(rh, num_classes, pre_nms_thresh=0.05, top_n=100,
     )
 
 
+@pytest.mark.slow  # ~14-31s; nightly tier
 def test_atss_postprocess_parity_random_logits():
     """Threshold -> per-level topk -> decode -> ml_nms -> kthvalue cap,
     vs our masked fixed-shape program, on well-spread random logits."""

@@ -75,6 +75,7 @@ def test_encoder_pallas_all_query_levels(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # ~11s; nightly tier
 def test_non_exact_ratio_routes_cross_level_to_gather(rng):
     """(15,15)->(8,8) is not an exact ratio: the cross-level pair must ride
     the gather composite (the exact self-pair stays pallas); with
@@ -130,6 +131,7 @@ def test_dispatch_env_routing(rng, monkeypatch):
     )
 
 
+@pytest.mark.slow  # ~14s; nightly tier
 def test_dispatch_gradients_flow(rng, monkeypatch):
     """custom_vjp: grads through the pallas forward come from the composite
     and must be finite / close to the composite's own grads."""

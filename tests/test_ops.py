@@ -302,6 +302,7 @@ def test_comm_single_host():
     np.testing.assert_allclose(out["x"], 2.0)
 
 
+@pytest.mark.slow  # ~13-27s; nightly tier
 def test_pallas_deform_conv_matches_window(rng):
     """Interpret-mode Pallas kernel vs the XLA window composite (same
     clipped-offset semantics) — exact agreement expected."""
