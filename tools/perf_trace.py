@@ -108,6 +108,32 @@ def aggregate(trace_dir: str, iters: int):
             "per_call_ms": round(ms / iters, 3), "count": n,
             "hint": long[:140],
         }), flush=True)
+
+    # Per-INSTANCE view: the family buckets above hide whether a family's
+    # time is one giant op or a long tail, and the outer lax.map `while`
+    # double-counts everything nested inside it. Instances expose e.g. which
+    # specific DCN convs (per tower step x level x stride) dominate.
+    inst: dict[str, list[float]] = {}
+    for e in ev:
+        if e.get("ph") != "X":
+            continue
+        if "device" not in proc.get(e["pid"], ""):
+            continue
+        if thread.get((e["pid"], e.get("tid"))) != "XLA Ops":
+            continue
+        name = e.get("name", "?")
+        if name.startswith("while"):
+            continue  # container op: its children are counted directly
+        b = inst.setdefault(name, [0.0, 0])
+        b[0] += e.get("dur", 0) / 1000.0
+        b[1] += 1
+    irows = sorted(inst.items(), key=lambda kv: -kv[1][0])
+    for name, (ms, n) in irows[:25]:
+        print(json.dumps({
+            "instance": name, "per_call_ms": round(ms / iters, 3),
+            "count": n,
+        }), flush=True)
+
     print(json.dumps({"device_total_ms": round(total, 2),
                       "per_protocol_ms": round(total / iters, 2),
                       "iters": iters, "trace": path}), flush=True)
