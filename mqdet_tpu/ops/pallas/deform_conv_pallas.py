@@ -584,6 +584,41 @@ def _mdc_pallas_core(
     return out.reshape(b, ho_pad, wp, cout)[:, :ho, :wo]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mdc_pallas_diff(statics, x, offset, mask, weight, bias):
+    """Differentiable wrapper: Pallas forward, window-composite backward.
+
+    pallas_call has no JVP rule, but training differentiates THROUGH the
+    DyConv tower (the loss reaches GCP parameters via VLFuse -> DCN inputs),
+    so the kernel needs a VJP. The window composite
+    (ops/deform_conv.py::modulated_deform_conv_window) computes the
+    identical clipped-offset math (bit-exact vs this kernel, tested), so its
+    XLA-derived VJP is the exact gradient of this forward."""
+    return _mdc_dispatch(x, offset, mask, weight, bias, *statics)
+
+
+def _mdc_fwd(statics, x, offset, mask, weight, bias):
+    out = _mdc_pallas_diff(statics, x, offset, mask, weight, bias)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _mdc_bwd(statics, res, g):
+    from mqdet_tpu.ops.deform_conv import modulated_deform_conv_window
+
+    stride, radius = statics[0], statics[1]
+    x, offset, mask, weight, bias = res
+    _, vjp = jax.vjp(
+        lambda xx, oo, mm, ww, bb: modulated_deform_conv_window(
+            xx, oo, mm, ww, bb, stride=stride, radius=radius
+        ),
+        x, offset, mask, weight, bias,
+    )
+    return vjp(g)
+
+
+_mdc_pallas_diff.defvjp(_mdc_fwd, _mdc_bwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -619,7 +654,23 @@ def modulated_deform_conv_pallas(
     construction, DMA setup, pad waste 96-vs-176 lanes) grow faster than the
     span tightening saves — smooth offsets: 5.28 ms untiled vs 6.58/6.73 ms
     at 2/3 tiles; random offsets: 5.48 vs 7.57/8.67 ms. Kept for sweeps.
+
+    Differentiable: backward runs through the window composite's VJP (exact,
+    see _mdc_pallas_diff), so this is safe inside the training step.
     """
+    if bias is None:
+        bias = jnp.zeros((weight.shape[-1],), x.dtype)
+    return _mdc_pallas_diff(
+        (stride, radius, block_rows, interpret, version, x_tiles),
+        x, offset, mask, weight, bias,
+    )
+
+
+def _mdc_dispatch(
+    x, offset, mask, weight, bias,
+    stride, radius, block_rows, interpret, version, x_tiles,
+):
+    """Raw forward: auto-tiling choice + (tiled) kernel launch."""
     ho, wo = offset.shape[1], offset.shape[2]
     if x_tiles == 0:
         x_tiles = 1
