@@ -129,12 +129,17 @@ def sub_sentence_masks(input_ids, special_ids=(101, 102, 1012, 1029)):
     )
 
     # a position belongs to a block iff a terminator exists at-or-after it
-    # and it is not a boundary special ([CLS] / final slot)
-    member = (nxt < big) & ~(special & ~interior)
+    # and it is not a boundary special ([CLS] / final slot). Position 0 is
+    # never a member: the reference's previous_col=0 init (bertwarper.py:285)
+    # makes the first block span (0, first_special] — exclusive at 0 — even
+    # when position 0 is not a special token.
+    member = (nxt < big) & ~(special & ~interior) & (idx > 0)
     block = jnp.where(member, nxt, -idx - 1)  # unique sentinel per non-member
     attn = (block[:, :, None] == block[:, None, :]) | jnp.eye(t, dtype=bool)[None]
 
-    position_ids = jnp.where(member, idx - prev_strict - 1, 0)
+    # previous_col=0 init also means a block with NO special before it counts
+    # positions as if a special sat at index 0 (clamp, no-op when [CLS] is there)
+    position_ids = jnp.where(member, idx - jnp.maximum(prev_strict, 0) - 1, 0)
     return attn, position_ids
 
 

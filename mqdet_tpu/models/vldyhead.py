@@ -79,6 +79,12 @@ class DeformConvGN(nn.Module):
         ho = -(-x.shape[1] // self.stride)
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
+            # NOTE: the batch axis here must carry logically INDEPENDENT items
+            # (chunk-parallel forwards of the same image, or separate images).
+            # reinterpret_offsets_strided is reference-exact per item at the
+            # reference's eval batch size of 1; the CUDA kernel's cross-batch
+            # offset bleed at B>1 is deliberately NOT reproduced (see
+            # ops/deform_conv.py:118 docstring).
             if self.offset_compat == "strided":
                 offset, mask = reinterpret_offsets_strided(offset, mask, ho, wo)
             else:

@@ -12,12 +12,28 @@ from __future__ import annotations
 import os
 
 
-def enable_compile_cache(path: str = "/root/repo/.jax_cache") -> None:
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def enable_compile_cache(path: str | None = None) -> None:
     """Configure the persistent compile cache. Safe to call more than once;
-    call before the first jit compilation (backend init order is fine)."""
+    call before the first jit compilation (backend init order is fine).
+
+    Resolution order: explicit ``path`` arg > user-set
+    ``JAX_COMPILATION_CACHE_DIR`` > ``<repo_root>/.jax_cache``. The env var
+    alone does not populate the cache on this jax build (see module doc), so
+    when set we still route it through jax.config — but we honor its value.
+    """
     import jax
 
-    os.makedirs(path, exist_ok=True)
+    if path is None:
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            _REPO_ROOT, ".jax_cache"
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return  # unwritable location: run without a persistent cache
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -36,6 +36,20 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError:
         return None
 
+    _bind(lib)
+    _lib = lib
+    return _lib
+
+
+def load_library(so_path: str) -> ctypes.CDLL:
+    """Load + bind an explicit build of the host library (used by tests to
+    exercise a from-source build rather than the committed binary)."""
+    lib = ctypes.CDLL(so_path)
+    _bind(lib)
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
     lib.match_detections.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -54,8 +68,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_double,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ]
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

@@ -39,6 +39,19 @@ def test_sub_sentence_masks():
     np.testing.assert_array_equal(pos, [0, 0, 1, 2, 0, 1, 0, 0])
 
 
+def test_sub_sentence_masks_position0_not_special():
+    # Position 0 without a [CLS]: the reference's previous_col=0 init
+    # (bertwarper.py:285) keeps position 0 OUT of the first block — it stays
+    # identity-only with position id 0 even though a terminator follows.
+    ids = jnp.asarray([[5, 6, 1012, 7, 102, 0]])
+    attn, pos = GD.sub_sentence_masks(ids)
+    attn = np.asarray(attn[0])
+    assert attn[0, 0] and not attn[0, 1] and not attn[1, 0] and not attn[0, 2]
+    # the rest of the first block still forms normally
+    assert attn[1, 2] and attn[2, 1]
+    np.testing.assert_array_equal(np.asarray(pos[0]), [0, 0, 1, 0, 1, 0])
+
+
 def test_sub_sentence_masks_reference_parity():
     """Exact match vs the actual reference implementation on varied ids."""
     torch = pytest.importorskip("torch")

@@ -198,12 +198,28 @@ def test_window_deform_conv_stride2(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
-def test_native_host_library(rng):
-    """Native C++ helpers match the numpy/python reference paths."""
+def test_native_host_library(rng, tmp_path, monkeypatch):
+    """Native C++ helpers match the numpy/python reference paths.
+
+    Builds libmqdet_host.so FROM SOURCE (native/Makefile) into a temp dir and
+    tests that fresh build — not the committed binary — so the build recipe
+    itself is exercised. g++/make are part of the supported environment; a
+    build failure is a test failure, not a skip.
+    """
+    import os
+    import shutil
+    import subprocess
+
     from mqdet_tpu.utils import native
 
-    if not native.available():
-        pytest.skip("native toolchain unavailable")
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    for f in ("mqdet_host.cpp", "Makefile"):
+        shutil.copy(os.path.join(src_dir, f), tmp_path / f)
+    subprocess.run(["make", "-C", str(tmp_path)], check=True, capture_output=True)
+    fresh = native.load_library(str(tmp_path / "libmqdet_host.so"))
+    monkeypatch.setattr(native, "_lib", fresh)
+    monkeypatch.setattr(native, "_tried", True)
+    assert native.available()
 
     # matching parity vs the pure-python evaluator path
     from mqdet_tpu.engine import evaluator as EV
