@@ -228,15 +228,6 @@ def our_side(assets, ref_side, monkeypatch_module):
     }
 
 
-@pytest.fixture(scope="module")
-def monkeypatch_module():
-    from _pytest.monkeypatch import MonkeyPatch
-
-    mp = MonkeyPatch()
-    yield mp
-    mp.undo()
-
-
 def test_importer_covers_dcn_weights(our_side):
     rep = our_side["report"]
     assert rep["missing"] == [], f"unfilled flax leaves: {rep['missing'][:10]}"
