@@ -194,6 +194,11 @@ def run_inference(
         # VISION_QUERY.DEBUG (engine/inference.py:578-580): stop after a
         # couple of images for fast smoke runs
         ids = ids[:2]
+    # host-sharded evaluation (reference: DistributedSampler shards images
+    # per rank, samplers/distributed.py:12-72): each process scores a
+    # strided shard; evaluator states are all_gathered and merged below
+    if jax.process_count() > 1:
+        ids = ids[jax.process_index() :: jax.process_count()]
     t0 = time.time()
 
     def detect(img, tfm):
@@ -295,6 +300,15 @@ def run_inference(
         if verbose and (count + 1) % 50 == 0:
             rate = (count + 1) / (time.time() - t0)
             print(f"[inference] {count + 1}/{len(ids)} images, {rate:.3f} img/s")
+
+    # cross-host merge before scoring (twin of the reference's
+    # _accumulate_predictions_from_multiple_gpus, engine/inference.py:293-312)
+    if jax.process_count() > 1:
+        from mqdet_tpu.parallel import comm
+
+        for r, st in enumerate(comm.all_gather(evaluator.state_dict())):
+            if r != jax.process_index():
+                evaluator.merge_state(st)
 
     results = evaluator.summarize()
     results["images_per_second"] = len(ids) / max(time.time() - t0, 1e-6)

@@ -153,3 +153,20 @@ class QueryBank:
         (tools/train_net.py:305-336 saves MODEL/*_rank{r}.pth without merge)."""
         for lab in other.labels:
             self.add(lab, other.get(lab), capacity=capacity)
+
+    def allgather_merge(self, capacity: Optional[int] = None) -> None:
+        """Merge every other process's entries into this bank (deterministic
+        rank order), so distributed extraction produces ONE bank instead of
+        the reference's unmerged per-rank files. No-op single-process."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from mqdet_tpu.parallel import comm
+
+        states = comm.all_gather(dict(self._store))
+        for r, store in enumerate(states):
+            if r == jax.process_index():
+                continue
+            for lab in sorted(store):
+                self.add(int(lab), store[lab], capacity=capacity)

@@ -208,8 +208,15 @@ def main():
         extract_fn = make_extract_fn(model, bucket, cfg)
         transform = EvalTransform(cfg)
 
+        # host-sharded extraction (reference: DDP-wrapped extract,
+        # tools/train_net.py:287-336, which left per-rank UNMERGED bank
+        # files; here ranks merge below and rank 0 saves one bank)
+        import jax as _jax
+
+        ext_ids = dataset.ids[_jax.process_index() :: _jax.process_count()]
+
         def data_iter():
-            for img_id in dataset.ids:
+            for img_id in ext_ids:
                 img = dataset.load_image(img_id)
                 padded, (oh, ow), (sy, sx) = transform(img)
                 boxes, labels = dataset.annotations(img_id)
@@ -229,10 +236,14 @@ def main():
             extract_fn, params, data_iter(), out_bank,
             max_query_number=cfg.VISION_QUERY.MAX_QUERY_NUMBER,
         )
+        out_bank.allgather_merge(
+            capacity=cfg.VISION_QUERY.MAX_QUERY_NUMBER
+        )
         save_path = cfg.VISION_QUERY.QUERY_BANK_SAVE_PATH or os.path.join(
             cfg.OUTPUT_DIR, "query_bank.npz"
         )
-        out_bank.save(save_path)
+        if _jax.process_index() == 0:
+            out_bank.save(save_path)
         print(f"saved query bank ({len(out_bank)} classes) to {save_path}")
         return
 
