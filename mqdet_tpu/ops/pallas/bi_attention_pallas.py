@@ -116,10 +116,28 @@ def _kernel(
             ).astype(outl_ref.dtype)
 
 
+def flash_bi_attention(
+    q, k, vv, vl, bias_l, num_heads, block_n=3200, interpret=False,
+):
+    """Unjitted entry: reports analytic flops EVERY trace (the jitted inner
+    fn's Python body only runs on pjit-cache misses), then dispatches.
+
+    Algorithmic flops: one (N, T) score matmul serving both softmax
+    directions + two value matmuls, each 2*B*N*T*E; softmax is O(NT)."""
+    from mqdet_tpu.utils import flop_count
+
+    b, n, e = q.shape
+    flop_count.add("flash_bi_attention", 6.0 * b * n * k.shape[1] * e)
+    return _flash_bi_attention_jit(
+        q, k, vv, vl, bias_l, num_heads=num_heads, block_n=block_n,
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "block_n", "interpret")
 )
-def flash_bi_attention(
+def _flash_bi_attention_jit(
     q: jnp.ndarray,        # (B, N, E) pre-scaled
     k: jnp.ndarray,        # (B, T, E)
     vv: jnp.ndarray,       # (B, N, E)

@@ -619,13 +619,36 @@ def _mdc_bwd(statics, res, g):
 _mdc_pallas_diff.defvjp(_mdc_fwd, _mdc_bwd)
 
 
+def modulated_deform_conv_pallas(
+    x, offset, mask, weight, bias=None, stride=1, radius=2, block_rows=8,
+    interpret=False, version=2, x_tiles=0,
+):
+    """Unjitted entry: reports analytic flops EVERY trace (the jitted inner
+    fn's Python body only runs on pjit-cache misses, which would make the
+    kernel invisible to benchmark flop accounting), then dispatches."""
+    # per output position: K=9 taps of [4-corner bilinear lerp (~7 mul-add
+    # = 14 flops/channel) + modulation (1)] + the (K*C, Cout) matmul
+    from mqdet_tpu.utils import flop_count
+
+    b, ho, wo = offset.shape[0], offset.shape[1], offset.shape[2]
+    c, cout = x.shape[-1], weight.shape[-1]
+    flop_count.add(
+        "dcn_pallas", b * ho * wo * 9 * c * (2.0 * cout + 15.0)
+    )
+    return _modulated_deform_conv_pallas_jit(
+        x, offset, mask, weight, bias, stride=stride, radius=radius,
+        block_rows=block_rows, interpret=interpret, version=version,
+        x_tiles=x_tiles,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "stride", "radius", "block_rows", "interpret", "version", "x_tiles",
     ),
 )
-def modulated_deform_conv_pallas(
+def _modulated_deform_conv_pallas_jit(
     x: jnp.ndarray,
     offset: jnp.ndarray,
     mask: jnp.ndarray,

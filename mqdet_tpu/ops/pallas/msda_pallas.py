@@ -293,6 +293,14 @@ def ms_deform_attn_encoder(
         )
 
         n_blk = br * wp2
+        # analytic flops (invisible to XLA cost analysis) for this level
+        # group: per query x head x level x point, 4-corner bilinear lerp
+        # (~8 flops/channel) + attention-weighted accumulation (2)
+        from mqdet_tpu.utils import flop_count
+
+        flop_count.add(
+            "msda_pallas", b * hq * wq * nh * lp * p * hd * 10.0
+        )
         kernel = functools.partial(
             _kernel, br=br, wp2=wp2, c=c, nhp=nhp, ks=tuple(ks),
             rs=tuple(rs), pad_xg=pad_g, pad_yg=pad_g,
