@@ -50,6 +50,14 @@ class ChunkedEvaluationPlan:
             import json as _json
 
             cap_prompt = _json.loads(cap_prompt) if cap_prompt else None
+        if isinstance(cap_prompt, dict):
+            # tools/convert_knowledge.py artifact: {class_name: prompt};
+            # resolve to caption order, raw name for classes not covered
+            cap_prompt = [
+                cap_prompt.get(dataset.ind_to_class[l])
+                or {"prefix": "", "name": dataset.ind_to_class[l], "suffix": ""}
+                for l in all_labels
+            ]
         if cap_prompt is None and cfg.GLIPKNOW.KNOWLEDGE_FILE:
             # GLIPKNOW knowledge expansion (generalized_vl_rcnn_new.py:521-666):
             # clean_name + ": <knowledge>" suffix per class, span on the name
@@ -75,6 +83,13 @@ class ChunkedEvaluationPlan:
         self.max_labels = max(max_labels, max(b.num_labels for b in self.bundles))
 
         n = len(self.bundles)
+        vocab = cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE
+        top = max(int(b.input_ids.max(initial=0)) for b in self.bundles)
+        assert top < vocab, (
+            f"tokenizer produced id {top} >= VOCAB_SIZE {vocab}: the "
+            "embedding table would read out of range (NaN text features). "
+            "Align MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE with the tokenizer."
+        )
         self.input_ids = np.stack([b.input_ids for b in self.bundles])
         self.attention_mask = np.stack([b.attention_mask for b in self.bundles])
         padded = [G.pad_prompt_maps(b, self.max_labels) for b in self.bundles]

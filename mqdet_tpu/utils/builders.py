@@ -56,7 +56,10 @@ def tiny_test_config() -> CfgNode:
     cfg.MODEL.LANGUAGE_BACKBONE.HIDDEN_SIZE = 32
     cfg.MODEL.LANGUAGE_BACKBONE.NUM_HEADS = 2
     cfg.MODEL.LANGUAGE_BACKBONE.INTERMEDIATE_SIZE = 64
-    cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE = 128
+    # keep the REAL bert vocab: tests tokenize with the default (bert)
+    # tokenizer, and an id beyond the embedding table NaNs the text tower
+    # (~2 MB at hidden 32 — cheap insurance)
+    cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_SIZE = 30522
     cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN = 16
     cfg.VISION_QUERY.START_QV_LAYER = 1
     cfg.MODEL.GROUP_NORM.NUM_GROUPS = 4
