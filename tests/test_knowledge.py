@@ -64,3 +64,72 @@ def test_glipknow_expands_eval_prompts(tmp_path):
     cfg2 = tiny_test_config()
     plan2 = ChunkedEvaluationPlan(cfg2, DS(), get_tokenizer(), selector=None)
     assert "felid" not in plan2.bundles[0].caption
+
+
+def test_convert_knowledge_on_reference_yaml(tmp_path):
+    """tools/convert_knowledge.py converts the ACTUAL reference knowledge
+    content (knowledge/odinw_knowledge.yaml) into the caption-prompt
+    artifact, making GLIPKNOW runnable end-to-end without the reference
+    tree at eval time."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pytest
+
+    src = "/root/reference/knowledge/odinw_knowledge.yaml"
+    if not os.path.exists(src):
+        pytest.skip("reference knowledge file not mounted")
+    out = tmp_path / "odinw_prompts.json"
+    r = subprocess.run(
+        [sys.executable, "tools/convert_knowledge.py", "--input", src,
+         "--output", str(out), "--knowledge-type", "def_wiki"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    prompts = json.loads(out.read_text())
+    assert "Ambulance" in prompts
+    amb = prompts["Ambulance"]
+    assert amb["name"] == "Ambulance"
+    assert "emergency vehicle" in amb["suffix"]
+    # every converted entry keeps the span on the clean name
+    assert all(set(v) == {"prefix", "name", "suffix"} for v in prompts.values())
+
+
+def test_converted_prompts_flow_through_eval_plan(tmp_path):
+    """The converted artifact drives the eval captions via
+    DATASETS.CAPTION_PROMPT (dict keyed by class name), end to end through
+    ChunkedEvaluationPlan."""
+    import json
+    import os
+
+    import pytest
+
+    src = "/root/reference/knowledge/odinw_knowledge.yaml"
+    if not os.path.exists(src):
+        pytest.skip("reference knowledge file not mounted")
+
+    from tools.convert_knowledge import convert
+
+    prompts = convert(src, "def_wiki")
+
+    from mqdet_tpu.data.tokenizer import get_tokenizer
+    from mqdet_tpu.engine.inference import ChunkedEvaluationPlan
+    from mqdet_tpu.utils.builders import tiny_test_config
+
+    cfg = tiny_test_config()
+    cfg.MODEL.LANGUAGE_BACKBONE.MAX_QUERY_LEN = 128
+    cfg.DATASETS.CAPTION_PROMPT = json.dumps(prompts)
+
+    class DS:
+        ind_to_class = {1: "Ambulance", 2: "Bus", 3: "unknown_class"}
+
+    plan = ChunkedEvaluationPlan(cfg, DS(), get_tokenizer(), selector=None)
+    cap = plan.bundles[0].caption
+    assert "emergency vehicle" in cap          # Ambulance knowledge suffix
+    assert "unknown class" in cap  # uncovered class: raw (cleaned) name
+    # span stays on the class-name tokens, not the suffix
+    row = plan.bundles[0].all_map[0]
+    assert 0 < (row > 0).sum() <= 3
