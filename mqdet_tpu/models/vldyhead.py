@@ -209,17 +209,21 @@ class DyConv(nn.Module):
                     upsample_bilinear(up, feature.shape[1], feature.shape[2])
                 )
 
-            stacked = jnp.stack(temp)  # (K, B, H, W, C)
-            if self.use_dyfuse:
-                # AttnConv = avgpool -> 1x1 conv -> relu, then h_sigmoid over
-                # the stack (vldyhead.py:172-179, 232-238)
-                attn = jnp.stack(
-                    [h_sigmoid(nn.relu(attn_conv(jnp.mean(f, axis=(1, 2), keepdims=True)))) for f in temp]
-                )  # (K, B, 1, 1, 1)
-                mean_fea = jnp.mean(stacked * attn, axis=0)
-            else:
-                mean_fea = jnp.mean(stacked, axis=0)
-            outs.append(mean_fea)
+            # AttnConv = avgpool -> 1x1 conv -> relu -> h_sigmoid per member
+            # (vldyhead.py:172-179, 232-238), then the weighted mean. Running
+            # accumulation instead of jnp.stack(temp).mean(0): the stack
+            # materializes a (K, B, H, W, C) tensor per level (3x the pyramid
+            # in HBM traffic) that XLA does not reliably fuse away; the sum
+            # is the same math in the same order.
+            acc = None
+            for f in temp:
+                if self.use_dyfuse:
+                    w_f = h_sigmoid(
+                        nn.relu(attn_conv(jnp.mean(f, axis=(1, 2), keepdims=True)))
+                    )
+                    f = f * w_f
+                acc = f if acc is None else acc + f
+            outs.append(acc / len(temp))
 
         if relu is not None:
             outs = [relu(o) for o in outs]
