@@ -94,11 +94,26 @@ def normalize(
 
 
 def pick_bucket(h: int, w: int, buckets: Sequence[Tuple[int, int]]):
-    """Smallest static bucket that fits (h, w)."""
-    for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
+    """Smallest static bucket that fits (h, w).
+
+    Buckets are orientation-free: a declared (800, 1344) also serves
+    portrait images as (1344, 800). The reference pads dynamically to
+    size-divisible-32 per batch (ImageList), so any aspect ratio works
+    there; here each padded geometry is one compiled head, and
+    orientation-aware fitting keeps the declared bucket list small (one
+    entry covers both landscape and portrait at two compilations).
+    """
+    cands = []
+    for bh, bw in buckets:
+        cands.append((bh, bw))
+        cands.append((bw, bh))
+    for bh, bw in sorted(set(cands), key=lambda b: b[0] * b[1]):
         if h <= bh and w <= bw:
             return bh, bw
-    return max(buckets, key=lambda b: b[0] * b[1])
+    raise ValueError(
+        f"image ({h}, {w}) fits no TPU.IMAGE_BUCKETS entry {list(buckets)}; "
+        "add a larger bucket or lower INPUT.MIN/MAX_SIZE_TEST"
+    )
 
 
 def pad_to_bucket(img: np.ndarray, bucket: Tuple[int, int]) -> np.ndarray:

@@ -31,17 +31,33 @@ class BiMultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, v, l, attention_mask_l=None, deterministic=True):
-        """v: (B, N, v_dim); l: (B, T, l_dim); mask_l: (B, T) 1=valid."""
-        b, n, _ = v.shape
+        """v: (B, N, v_dim) — or a LIST of per-level (B, N_l, v_dim), in
+        which case out_v is returned as a matching list and the levels are
+        streamed through the attention without concatenation (the per-stage
+        pyramid flatten was a measured ~55 ms/protocol of pure HBM traffic,
+        PERF.md round-3 trace); l: (B, T, l_dim); mask_l: (B, T) 1=valid."""
+        v_is_list = isinstance(v, (list, tuple))
+        vs = list(v) if v_is_list else [v]
+        b = vs[0].shape[0]
+        n = sum(x.shape[1] for x in vs)
         t = l.shape[1]
         h = self.num_heads
         d = self.embed_dim // h
         scale = d**-0.5
 
-        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(v) * scale
-        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")(l)
-        vv = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_v_proj")(v)
-        vl = nn.Dense(self.embed_dim, dtype=self.dtype, name="values_l_proj")(l)
+        v_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")
+        l_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="l_proj")
+        values_v_proj = nn.Dense(
+            self.embed_dim, dtype=self.dtype, name="values_v_proj"
+        )
+        values_l_proj = nn.Dense(
+            self.embed_dim, dtype=self.dtype, name="values_l_proj"
+        )
+        out_v_proj = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")
+        out_l_proj = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")
+
+        k = l_proj(l)
+        vl = values_l_proj(l)
 
         # Fused flash kernel (ops/pallas/bi_attention_pallas.py): both
         # attention directions in one pass over N, scores never reach HBM.
@@ -61,6 +77,7 @@ class BiMultiHeadAttention(nn.Module):
         if use_flash:
             from mqdet_tpu.ops.pallas.bi_attention_pallas import (
                 flash_bi_attention,
+                flash_bi_attention_levels,
             )
 
             bias = None
@@ -68,12 +85,25 @@ class BiMultiHeadAttention(nn.Module):
                 bias = jnp.where(
                     attention_mask_l == 0, -9e15, 0.0
                 ).astype(jnp.float32)
+            if v_is_list:
+                qs = [v_proj(x) * scale for x in vs]
+                vvs = [values_v_proj(x) for x in vs]
+                out_vs, out_l = flash_bi_attention_levels(
+                    qs, k, vvs, vl, bias, num_heads=h
+                )
+                return [out_v_proj(x) for x in out_vs], out_l_proj(out_l)
+            q = v_proj(v) * scale
+            vv = values_v_proj(v)
             out_v, out_l = flash_bi_attention(
                 q, k, vv, vl, bias, num_heads=h
             )
-            out_v = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
-            out_l = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)
-            return out_v, out_l
+            return out_v_proj(out_v), out_l_proj(out_l)
+
+        if v_is_list:
+            level_sizes = [x.shape[1] for x in vs]
+            v = jnp.concatenate(vs, axis=1)
+        q = v_proj(v) * scale
+        vv = values_v_proj(v)
 
         # Heads stay in place — (B, S, H, D) einsums let dot_general fold the
         # head split into the contraction instead of materializing four
@@ -122,8 +152,14 @@ class BiMultiHeadAttention(nn.Module):
         out_v = out_v.reshape(b, n, self.embed_dim)
         out_l = out_l.reshape(b, t, self.embed_dim)
 
-        out_v = nn.Dense(self.v_dim, dtype=self.dtype, name="out_v_proj")(out_v)
-        out_l = nn.Dense(self.l_dim, dtype=self.dtype, name="out_l_proj")(out_l)
+        out_v = out_v_proj(out_v)
+        out_l = out_l_proj(out_l)
+        if v_is_list:
+            splits, start = [], 0
+            for sz in level_sizes:
+                splits.append(out_v[:, start : start + sz])
+                start += sz
+            return splits, out_l
         return out_v, out_l
 
 
@@ -140,9 +176,13 @@ class BiAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, v, l, attention_mask_l=None, deterministic=True):
+        """v may be a single (B, N, C) tensor or a per-level list (see
+        BiMultiHeadAttention); the return matches the input form."""
+        v_is_list = isinstance(v, (list, tuple))
         gamma_v = self.param("gamma_v", nn.initializers.constant(self.init_value), (self.v_dim,))
         gamma_l = self.param("gamma_l", nn.initializers.constant(self.init_value), (self.l_dim,))
-        vn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")(v)
+        norm_v = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_v")
+        vn = [norm_v(x) for x in v] if v_is_list else norm_v(v)
         ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
             v_dim=self.v_dim, l_dim=self.l_dim, embed_dim=self.embed_dim,
@@ -151,7 +191,10 @@ class BiAttentionBlock(nn.Module):
         )(vn, ln, attention_mask_l, deterministic)
         # NOTE (reference semantics, fuse_helper.py:417-421): the residual is
         # added to the NORMED inputs, not the raw ones.
-        v = vn + gamma_v.astype(dv.dtype) * dv
+        if v_is_list:
+            v = [a + gamma_v.astype(b_.dtype) * b_ for a, b_ in zip(vn, dv)]
+        else:
+            v = vn + gamma_v.astype(dv.dtype) * dv
         l = ln + gamma_l.astype(dl.dtype) * dl
         return v, l
 
@@ -174,8 +217,12 @@ def unflatten_levels(flat: jnp.ndarray, sizes) -> List[jnp.ndarray]:
 
 
 class VLFuse(nn.Module):
-    """Early-fusion stage (vldyhead.py VLFuse, MHA-B path): flatten the five
-    levels, one bi-attention call, unflatten."""
+    """Early-fusion stage (vldyhead.py VLFuse, MHA-B path): the five levels
+    form one visual sequence for a single bi-attention. The levels are
+    passed as (B, HW_l, C) token views — on the flash path they stream
+    through a carried-state kernel without ever being concatenated (the
+    reference and the XLA composite flatten into one (B, sum HW, C) buffer;
+    mathematically identical)."""
 
     num_convs: int = 6
     v_dim: int = 256
@@ -186,13 +233,14 @@ class VLFuse(nn.Module):
 
     @nn.compact
     def __call__(self, visual: List[jnp.ndarray], lang_hidden, lang_masks, deterministic=True):
-        flat, sizes = flatten_levels(visual)
+        shapes = [f.shape for f in visual]
+        tokens = [f.reshape(f.shape[0], -1, f.shape[-1]) for f in visual]
         new_v, new_l = BiAttentionBlock(
             v_dim=self.v_dim, l_dim=self.l_dim, embed_dim=self.embed_dim,
             num_heads=self.num_heads, init_value=1.0 / self.num_convs,
             dtype=self.dtype, name="b_attn",
-        )(flat, lang_hidden, lang_masks, deterministic)
-        return unflatten_levels(new_v, sizes), new_l
+        )(tokens, lang_hidden, lang_masks, deterministic)
+        return [t.reshape(s) for t, s in zip(new_v, shapes)], new_l
 
 
 class MultiHeadCrossAttention(nn.Module):

@@ -263,3 +263,28 @@ def test_run_inference_multibucket(synthetic_coco, monkeypatch):
     # default bucket is built eagerly; the image bucket (48, 64) lazily
     assert (48, 64) in created
     assert created.count((48, 64)) == 1  # cached, not rebuilt per image
+
+
+def test_bucket_orientation_and_portrait_padding():
+    """A declared (H, W) bucket also serves portrait images transposed
+    (one bucket entry, two compiled geometries), and EvalTransform pads a
+    portrait image without cropping. Regression: the old pick_bucket fell
+    back to the largest bucket as-declared, so any portrait LVIS image
+    (e.g. 640x480 original -> 1066x800 resized vs the (800, 1344) default
+    bucket) crashed pad_to_bucket."""
+    from mqdet_tpu.data.transforms import EvalTransform, pick_bucket
+
+    assert pick_bucket(48, 64, ((48, 64),)) == (48, 64)
+    assert pick_bucket(64, 48, ((48, 64),)) == (64, 48)
+    with pytest.raises(ValueError):
+        pick_bucket(100, 100, ((48, 64),))
+
+    cfg = tiny_test_config()
+    cfg.TPU.IMAGE_BUCKETS = ((800, 1344),)
+    cfg.INPUT.MIN_SIZE_TEST = 800
+    cfg.INPUT.MAX_SIZE_TEST = 1333
+    tfm = EvalTransform(cfg)
+    portrait = np.zeros((640, 480, 3), np.uint8)  # resizes to (1066, 800)
+    padded, (oh, ow), _ = tfm(portrait)
+    assert (oh, ow) == (1066, 800)
+    assert padded.shape[:2] == (1344, 800)

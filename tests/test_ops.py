@@ -449,3 +449,22 @@ def test_flash_bi_attention_matches_composite(rng):
     )
     np.testing.assert_allclose(np.asarray(ov), np.asarray(ov_ref), atol=2e-3)
     np.testing.assert_allclose(np.asarray(ol), np.asarray(ol_ref), atol=2e-3)
+
+    # streaming per-level form: splitting N across carried-state calls
+    # (VLFuse's concat-free path) must match the flat result
+    from mqdet_tpu.ops.pallas.bi_attention_pallas import (
+        flash_bi_attention_levels,
+    )
+
+    sizes = [420, 180, 70, 30]  # sum = 700; mixed block/pad geometries
+    starts = np.cumsum([0] + sizes)
+    qs = [q[:, s:e_] for s, e_ in zip(starts, starts[1:])]
+    vvs = [vv[:, s:e_] for s, e_ in zip(starts, starts[1:])]
+    ovs, ol2 = flash_bi_attention_levels(
+        qs, k, vvs, vl, bias, num_heads=h, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(x) for x in ovs], axis=1),
+        np.asarray(ov_ref), atol=2e-3,
+    )
+    np.testing.assert_allclose(np.asarray(ol2), np.asarray(ol_ref), atol=2e-3)
