@@ -85,6 +85,26 @@ class BiMultiHeadAttention(nn.Module):
                 bias = jnp.where(
                     attention_mask_l == 0, -9e15, 0.0
                 ).astype(jnp.float32)
+            # MQDET_FLASH_LEVELS=stream (default) runs one carried-state
+            # kernel per FPN level, never concatenating the pyramid;
+            # =concat flattens into one buffer and runs a single kernel
+            # (the round-3 formulation; kept for A/B on-chip).
+            if v_is_list and os.environ.get(
+                "MQDET_FLASH_LEVELS", "stream"
+            ) == "concat":
+                level_sizes = [x.shape[1] for x in vs]
+                v = jnp.concatenate(vs, axis=1)
+                q = v_proj(v) * scale
+                vv = values_v_proj(v)
+                out_v, out_l = flash_bi_attention(
+                    q, k, vv, vl, bias, num_heads=h
+                )
+                out_v = out_v_proj(out_v)
+                splits, start = [], 0
+                for sz in level_sizes:
+                    splits.append(out_v[:, start : start + sz])
+                    start += sz
+                return splits, out_l_proj(out_l)
             if v_is_list:
                 qs = [v_proj(x) * scale for x in vs]
                 vvs = [values_v_proj(x) for x in vs]

@@ -55,6 +55,7 @@ def _kernel(
     d: int,
     block_n: int,
     n_valid: int,
+    dual_scores: bool = False,
 ):
     n_i = pl.program_id(1)
     n_last = pl.num_programs(1) - 1
@@ -97,18 +98,38 @@ def _kernel(
             preferred_element_type=jnp.float32,
         ).astype(outv_ref.dtype)
 
-        # ---- l side: online softmax over the N (sublane) axis ---------
-        s_m = jnp.where(row_ok, s, NEG)       # (BN, T)
+        # ---- l side: online softmax over the N axis --------------------
+        # dual_scores=False: reduce the shared (BN, T) tensor over the
+        # sublane axis (saves 25% of kernel flops); True: recompute s^T
+        # with a second MXU matmul and reduce over the lane axis (the
+        # round-3 formulation; kept for A/B on-chip).
         m_old = mrun[h]                       # (T,)
-        m_new = jnp.maximum(m_old, jnp.max(s_m, axis=0))
-        alpha = jnp.exp(m_old - m_new)        # (T,)
-        e = jnp.exp(s_m - m_new[None, :])
-        e = jnp.where(row_ok, e, 0.0)
-        acc[h] = acc[h] * alpha[:, None] + jax.lax.dot_general(
-            e.astype(vvh.dtype), vvh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (T, D)
-        den[h] = den[h] * alpha + jnp.sum(e, axis=0)
+        if dual_scores:
+            s_l = jax.lax.dot_general(
+                kh, qh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, BN)
+            s_l = jnp.where(row_ok.reshape(1, block_n), s_l, NEG)
+            m_new = jnp.maximum(m_old, jnp.max(s_l, axis=-1))
+            alpha = jnp.exp(m_old - m_new)    # (T,)
+            e = jnp.exp(s_l - m_new[:, None])
+            e = jnp.where(row_ok.reshape(1, block_n), e, 0.0)
+            acc[h] = acc[h] * alpha[:, None] + jax.lax.dot_general(
+                e.astype(vvh.dtype), vvh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            den[h] = den[h] * alpha + jnp.sum(e, axis=-1)
+        else:
+            s_m = jnp.where(row_ok, s, NEG)   # (BN, T)
+            m_new = jnp.maximum(m_old, jnp.max(s_m, axis=0))
+            alpha = jnp.exp(m_old - m_new)    # (T,)
+            e = jnp.exp(s_m - m_new[None, :])
+            e = jnp.where(row_ok, e, 0.0)
+            acc[h] = acc[h] * alpha[:, None] + jax.lax.dot_general(
+                e.astype(vvh.dtype), vvh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, D)
+            den[h] = den[h] * alpha + jnp.sum(e, axis=0)
         mrun[h] = m_new
 
         @pl.when(n_i == n_last)
@@ -303,18 +324,25 @@ def flash_bi_attention(
 
     Algorithmic flops: one (N, T) score matmul serving both softmax
     directions + two value matmuls, each 2*B*N*T*E; softmax is O(NT)."""
+    import os
+
     from mqdet_tpu.utils import flop_count
 
     b, n, e = q.shape
-    flop_count.add("flash_bi_attention", 6.0 * b * n * k.shape[1] * e)
+    dual = os.environ.get("MQDET_FLASH_SCORES", "single") == "dual"
+    flop_count.add(
+        "flash_bi_attention",
+        (8.0 if dual else 6.0) * b * n * k.shape[1] * e,
+    )
     return _flash_bi_attention_jit(
         q, k, vv, vl, bias_l, num_heads=num_heads, block_n=block_n,
-        interpret=interpret,
+        dual_scores=dual, interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "block_n", "dual_scores", "interpret"),
 )
 def _flash_bi_attention_jit(
     q: jnp.ndarray,        # (B, N, E) pre-scaled
@@ -324,6 +352,7 @@ def _flash_bi_attention_jit(
     bias_l: Optional[jnp.ndarray],  # (B, T) f32 additive, or None
     num_heads: int,
     block_n: int = 3200,
+    dual_scores: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (out_v (B, N, E), out_l (B, T, E))."""
@@ -340,7 +369,8 @@ def _flash_bi_attention_jit(
     bias_l = bias_l.astype(jnp.float32).reshape(b, 1, t)
 
     kernel = functools.partial(
-        _kernel, heads=num_heads, d=d, block_n=block_n, n_valid=n
+        _kernel, heads=num_heads, d=d, block_n=block_n, n_valid=n,
+        dual_scores=dual_scores,
     )
     out_v, out_l = pl.pallas_call(
         kernel,

@@ -114,25 +114,33 @@ def _kernel(
 
         win = 2 * r + 2
 
-        def cell(idx, _, k=k, r=r, win=win, ry=ry, rx=rx, at=at):
-            ey = idx // win - r
-            ex = idx % win - r
-            hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry - ey.astype(jnp.float32)))
-            hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - ex.astype(jnp.float32)))
-            w = at * hy * hx                              # (N, nhp)
-            wc = jax.lax.dot_general(
-                w, gc_ref[...],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                             # (N, C)
-            roff = k * (r + 1) + k * ey
-            coff = pad_xg + k * ex
-            v = band[pl.ds(roff, br), pl.ds(coff, wp2), :]
-            out_ref[0] += wc * v.reshape(n, c)
+        # Loop structure is dictated by Mosaic's slicing rules on the 3-D
+        # band (rows, wband, c): dim 0 (rows) is untiled, so a DYNAMIC
+        # offset is fine there — the y window stays a fori_loop. dim 1
+        # (wband) is the sublane dim, where a dynamic offset must be
+        # provably 8-aligned (coff varies by +-k, so it is not) but an
+        # arbitrary STATIC offset lowers fine (sublane rotate) — the x
+        # window is therefore statically unrolled (win cells).
+        def yrow(i, _, k=k, r=r, ry=ry, rx=rx, at=at):
+            hy = jnp.maximum(
+                0.0, 1.0 - jnp.abs(ry - (i.astype(jnp.float32) - r))
+            )
+            roff = k * i + k  # k*(r+1) + k*(i - r)
+            for ex in range(-r, r + 2):
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - float(ex)))
+                w = at * hy * hx                          # (N, nhp)
+                wc = jax.lax.dot_general(
+                    w, gc_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                         # (N, C)
+                coff = pad_xg + k * ex
+                v = band[pl.ds(roff, br), coff : coff + wp2, :]
+                out_ref[0] += wc * v.reshape(n, c)
             return 0
 
-        jax.lax.fori_loop(0, win * win, cell, 0)
+        jax.lax.fori_loop(0, win, yrow, 0)
 
 
 def _prep_level_group(
@@ -167,7 +175,13 @@ def _prep_level_group(
         a = jnp.where(
             (vy[:, None] & vx[None, :])[None, :, :, None], a, 0.0
         )
-        maps.append(a)
+        # f32 regardless of the value dtype: the kernel's unaligned
+        # second-minor dynamic slice (band[ds(roff), ds(coff), :] with
+        # coff varying by +-1) only lowers on Mosaic for f32 tiles — a
+        # bf16 band fails "index in dimension 1 is a multiple of 8" on
+        # hardware (and bf16-source-into-f32-scratch DMA is a dtype
+        # mismatch), so bf16 eval upcasts here, outside the kernel.
+        maps.append(a.astype(jnp.float32))
     return jnp.stack(maps), hpad, wband, n_blocks
 
 

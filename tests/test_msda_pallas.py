@@ -75,6 +75,25 @@ def test_encoder_pallas_all_query_levels(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_encoder_pallas_bf16_value(rng):
+    """bf16 value maps (the production eval dtype) must lower: the band
+    maps are upcast to f32 OUTSIDE the kernel (a bf16 source DMA'd into an
+    f32 scratch is a Mosaic dtype-mismatch error, and a bf16 band scratch
+    fails Mosaic's second-minor alignment proving for the +-1-offset
+    dynamic slice). Tolerance is bf16 rounding of the inputs."""
+    shapes = [(8, 8), (4, 4)]
+    value, loc, attn = _encoder_inputs(rng, shapes, b=1)
+    v16 = value.astype(jnp.bfloat16)
+    want = ms_deform_attn_sample(
+        v16.astype(jnp.float32), shapes, loc, attn
+    )
+    got = ms_deform_attn_encoder(
+        v16, shapes, loc, attn, pallas_query_levels=(0,), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.slow  # ~11s; nightly tier
 def test_non_exact_ratio_routes_cross_level_to_gather(rng):
     """(15,15)->(8,8) is not an exact ratio: the cross-level pair must ride

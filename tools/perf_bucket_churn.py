@@ -93,7 +93,6 @@ def main():
         return float(jnp.sum(out.scores))
 
     for geom in sorted(geoms, key=lambda g: (g[0] * g[1], g)):
-        nonlocal_params = params
         batch = synthetic_batch(
             cfg, batch=chunk_batch, image_hw=geom, num_labels=40, k_shot=5
         )
