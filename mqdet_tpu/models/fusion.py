@@ -85,12 +85,15 @@ class BiMultiHeadAttention(nn.Module):
                 bias = jnp.where(
                     attention_mask_l == 0, -9e15, 0.0
                 ).astype(jnp.float32)
-            # MQDET_FLASH_LEVELS=stream (default) runs one carried-state
-            # kernel per FPN level, never concatenating the pyramid;
-            # =concat flattens into one buffer and runs a single kernel
-            # (the round-3 formulation; kept for A/B on-chip).
+            # MQDET_FLASH_LEVELS=concat (default) flattens the pyramid into
+            # one buffer and runs a single kernel; =stream runs one
+            # carried-state kernel per FPN level without concatenating.
+            # On-chip A/B (PERF.md round 5): concat 1256 ms protocol p50 vs
+            # stream 1352 ms — the 5 extra pallas_call fixed costs plus
+            # re-reading k/vl per level outweigh the saved concat traffic,
+            # so concat is the default and stream stays behind the env var.
             if v_is_list and os.environ.get(
-                "MQDET_FLASH_LEVELS", "stream"
+                "MQDET_FLASH_LEVELS", "concat"
             ) == "concat":
                 level_sizes = [x.shape[1] for x in vs]
                 v = jnp.concatenate(vs, axis=1)

@@ -318,9 +318,14 @@ def flash_bi_attention_levels(
 
 def flash_bi_attention(
     q, k, vv, vl, bias_l, num_heads, block_n=3200, interpret=False,
+    dual_scores=None,
 ):
     """Unjitted entry: reports analytic flops EVERY trace (the jitted inner
     fn's Python body only runs on pjit-cache misses), then dispatches.
+
+    dual_scores=None reads MQDET_FLASH_SCORES (default single); an explicit
+    bool overrides the env (used by the parity test to cover both
+    formulations).
 
     Algorithmic flops: one (N, T) score matmul serving both softmax
     directions + two value matmuls, each 2*B*N*T*E; softmax is O(NT)."""
@@ -329,7 +334,11 @@ def flash_bi_attention(
     from mqdet_tpu.utils import flop_count
 
     b, n, e = q.shape
-    dual = os.environ.get("MQDET_FLASH_SCORES", "single") == "dual"
+    dual = (
+        os.environ.get("MQDET_FLASH_SCORES", "single") == "dual"
+        if dual_scores is None
+        else dual_scores
+    )
     flop_count.add(
         "flash_bi_attention",
         (8.0 if dual else 6.0) * b * n * k.shape[1] * e,

@@ -175,12 +175,12 @@ def _prep_level_group(
         a = jnp.where(
             (vy[:, None] & vx[None, :])[None, :, :, None], a, 0.0
         )
-        # f32 regardless of the value dtype: the kernel's unaligned
-        # second-minor dynamic slice (band[ds(roff), ds(coff), :] with
-        # coff varying by +-1) only lowers on Mosaic for f32 tiles — a
-        # bf16 band fails "index in dimension 1 is a multiple of 8" on
-        # hardware (and bf16-source-into-f32-scratch DMA is a dtype
-        # mismatch), so bf16 eval upcasts here, outside the kernel.
+        # f32 regardless of the value dtype: the kernel slices the band as
+        # band[ds(roff, br), coff:coff+wp2, :] — dynamic sublane start,
+        # STATIC second-minor start (coff = pad_xg + k*ex, stepping by k
+        # across the unrolled window) — and DMAs this map into an f32
+        # scratch; a bf16 source into an f32 scratch is a Mosaic dtype
+        # mismatch, so bf16 eval upcasts here, outside the kernel.
         maps.append(a.astype(jnp.float32))
     return jnp.stack(maps), hpad, wband, n_blocks
 

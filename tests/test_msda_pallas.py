@@ -177,11 +177,13 @@ def test_dispatch_gradients_flow(rng, monkeypatch):
 
 
 @pytest.mark.tpu
-def test_encoder_pallas_compiles_on_tpu():
+@pytest.mark.parametrize("value_dtype", [jnp.float32, jnp.bfloat16])
+def test_encoder_pallas_compiles_on_tpu(value_dtype):
     """Real-chip Mosaic compile + parity at the GDINO 832x1408 bucket
     shapes (exact power-of-two pyramid: 104x176 -> 13x22), nh*L*P = 128
     lanes. Interpret-mode passing does NOT imply Mosaic compiles — this is
-    the hardware gate."""
+    the hardware gate; bf16 value maps (the production eval dtype) gate the
+    outside-the-kernel upcast path too."""
     import jax
 
     shapes = [(104, 176), (52, 88), (26, 44), (13, 22)]
@@ -190,7 +192,7 @@ def test_encoder_pallas_compiles_on_tpu():
     nh, hd, p = 8, 32, 4
     value = jnp.asarray(
         rng_.standard_normal((1, s, nh, hd)).astype(np.float32)
-    )
+    ).astype(value_dtype)
     attn = rng_.random((1, s, nh, 4, p)).astype(np.float32)
     attn = jnp.asarray(attn / attn.sum((3, 4), keepdims=True))
     ref = np.concatenate(
@@ -215,8 +217,11 @@ def test_encoder_pallas_compiles_on_tpu():
         ms_deform_attn_encoder(value, shapes, loc, attn,
                                pallas_query_levels=(0, 1))
     )
-    want = np.asarray(ms_deform_attn_sample(value, shapes, loc, attn))
-    np.testing.assert_allclose(got, want, rtol=5e-5, atol=5e-5)
+    want = np.asarray(
+        ms_deform_attn_sample(value.astype(jnp.float32), shapes, loc, attn)
+    )
+    tol = 5e-5 if value_dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
 
 
 def test_out_of_window_offsets_are_clipped(rng):

@@ -413,9 +413,11 @@ def test_pallas_gather_deform_conv_matches_window(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
-def test_flash_bi_attention_matches_composite(rng):
+@pytest.mark.parametrize("dual_scores", [False, True])
+def test_flash_bi_attention_matches_composite(rng, dual_scores):
     """Interpret-mode flash bi-attention kernel vs the plain two-softmax
-    formulation (models/fusion.py BiMultiHeadAttention semantics)."""
+    formulation (models/fusion.py BiMultiHeadAttention semantics), covering
+    both score formulations (single shared matmul / recomputed s^T)."""
     import jax
 
     from mqdet_tpu.ops.pallas.bi_attention_pallas import flash_bi_attention
@@ -445,10 +447,14 @@ def test_flash_bi_attention_matches_composite(rng):
     # block_n=256 forces multiple N tiles (online l-softmax) plus a padded
     # tail tile (700 = 2*256 + 188)
     ov, ol = flash_bi_attention(
-        q, k, vv, vl, bias, num_heads=h, block_n=256, interpret=True
+        q, k, vv, vl, bias, num_heads=h, block_n=256, interpret=True,
+        dual_scores=dual_scores,
     )
     np.testing.assert_allclose(np.asarray(ov), np.asarray(ov_ref), atol=2e-3)
     np.testing.assert_allclose(np.asarray(ol), np.asarray(ol_ref), atol=2e-3)
+
+    if dual_scores:
+        return  # the streaming form below is single-score only
 
     # streaming per-level form: splitting N across carried-state calls
     # (VLFuse's concat-free path) must match the flat result

@@ -26,6 +26,15 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     levels, scores = sys.argv[1], sys.argv[2]
+    if levels == "stream" and scores == "dual":
+        # The carried-state stream kernels only implement the single-score
+        # formulation; this combo would silently measure (stream, single).
+        print(json.dumps({
+            "levels": levels, "scores": scores,
+            "skipped": "stream path has no dual-score variant; "
+                       "identical to (stream, single)",
+        }))
+        return
     os.environ["MQDET_FLASH_LEVELS"] = levels
     os.environ["MQDET_FLASH_SCORES"] = scores
     from mqdet_tpu.utils.compile_cache import enable_compile_cache
