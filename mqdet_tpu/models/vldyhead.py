@@ -98,13 +98,16 @@ class DeformConvGN(nn.Module):
         #            HBM-bound on its materialized im2col)
         #   gather — exact 4-corner bilinear via XLA gather (unclipped
         #            offsets; slowest on TPU)
-        # Small levels and channel counts not aligned to the 128-lane tile
-        # fall back to `window` (negligible compute; the Pallas DMA needs
-        # lane-aligned C), as does CPU.
+        # Channel counts not aligned to the 128-lane tile fall back to
+        # `window` (the Pallas band DMA needs lane-aligned C), as does CPU.
+        # Small levels (P6/P7) run the Pallas kernel too: their compute is
+        # negligible but the window composite's 64-cell im2col lowers to 64
+        # single-entry copies + a concatenate in (2,128)-tiled layouts — a
+        # measured ~92 ms/protocol across the tower (round-5 device trace,
+        # PERF.md) vs microseconds for the same shapes in the kernel.
         impl = os.environ.get("MQDET_DEFORM_IMPL", "pallas")
         c_in = x.shape[-1]
-        small = ho * wo < 512
-        pallas_ok = c_in % 128 == 0 and not small
+        pallas_ok = c_in % 128 == 0
         args = (
             x, offset.astype(x.dtype), mask.astype(x.dtype),
             w.astype(x.dtype), b.astype(x.dtype),
@@ -116,8 +119,12 @@ class DeformConvGN(nn.Module):
                 *args, stride=self.stride, radius=self.radius
             )
         else:
+            # block_rows: 16 measured faster at the stride-1 level-0 shape
+            # (5.68 vs 5.90 ms rand / 5.56 vs 5.76 smooth, perf_dcn_sweep
+            # round 5); 8 faster at ho=50 (L1: 0.79 vs 1.08 ms).
             y = modulated_deform_conv_pallas(
-                *args, stride=self.stride, radius=self.radius
+                *args, stride=self.stride, radius=self.radius,
+                block_rows=16 if ho >= 100 else 8,
             )
         return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
 

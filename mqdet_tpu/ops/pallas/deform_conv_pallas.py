@@ -196,11 +196,17 @@ def _kernel_v2(
     def _():
         dma_for(step + 1, 1 - slot).start()
 
-    # x-shifted copies: all later dynamic indexing lands on untiled dims
+    # x-shifted copies: all later dynamic indexing lands on untiled dims.
+    # band_sh may be f32 while the band is bf16 (version 6): converting once
+    # here removes the per-(tap, dy, dx)-pass (BR*Wp, C) convert from the
+    # span loops — the passes' op count, not their VMEM traffic, is the
+    # measured bottleneck at wide spans.
     for dx in range(dsz):
         pxs, bxs = dx % stride, dx // stride
         for py in range(stride):
-            band_sh[dx, py] = band[slot, py, pxs, :, bxs : bxs + wp, :]
+            band_sh[dx, py] = band[slot, py, pxs, :, bxs : bxs + wp, :].astype(
+                band_sh.dtype
+            )
 
     mm_prec = (
         jax.lax.Precision.HIGHEST if w_ref.dtype == jnp.float32 else None
@@ -520,7 +526,7 @@ def _mdc_pallas_core(
         else jnp.zeros((1, cout), x.dtype)
     )
 
-    if version in (2, 3, 5):
+    if version in (2, 3, 5, 6):
         kernel = functools.partial(
             _kernel_v5 if version == 5 else _kernel_v2,
             br=br, wp=wp, c=c, dsz=dsz, d_lo=d_lo, stride=s,
@@ -531,9 +537,12 @@ def _mdc_pallas_core(
         # at a bounded precision cost (the 9-tap conv contraction itself
         # still runs on the MXU with f32 preferred output).
         acc_dtype = x.dtype if version == 3 else jnp.float32
+        # version 6: f32 x-shifted band copies — one convert in the 8-copy
+        # prologue instead of one (BR*Wp, C) convert per span pass.
+        bsh_dtype = jnp.float32 if version == 6 else x.dtype
         scratch = [
             pltpu.VMEM((2, s, s, band_rows, wp2, c), x.dtype),
-            pltpu.VMEM((dsz, s, band_rows, wp, c), x.dtype),
+            pltpu.VMEM((dsz, s, band_rows, wp, c), bsh_dtype),
             pltpu.VMEM((1, br * wp, c), acc_dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]

@@ -1,8 +1,14 @@
-"""Sweep Pallas DCN kernel parameters at the LVIS level-0 shape."""
+"""Sweep Pallas DCN kernel parameters at the LVIS level-0 shape.
+
+Usage: python -m tools.perf_dcn_sweep [versions] [block_rows]
+  versions: comma-separated kernel versions (default "2,5")
+  block_rows: comma-separated (default "8")
+"""
 from __future__ import annotations
 
 import json
 import statistics
+import sys
 import time
 
 
@@ -48,11 +54,17 @@ def main():
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts) * 1000.0
 
+    versions = tuple(
+        int(v) for v in (sys.argv[1] if len(sys.argv) > 1 else "2,5").split(",")
+    )
+    brs = tuple(
+        int(v) for v in (sys.argv[2] if len(sys.argv) > 2 else "8").split(",")
+    )
     for regime, off_np in (("rand", off_rand), ("smooth", off_smooth)):
         off0 = jnp.asarray(off_np, jnp.bfloat16)
         ref = None
-        for version in (2, 5):
-            for br in (8,):
+        for version in versions:
+            for br in brs:
                 try:
                     fn = rep8(lambda *a, _v=version, _b=br:
                               modulated_deform_conv_pallas(
