@@ -38,10 +38,25 @@ def _ident(w):
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference-layout .pth into a flat numpy dict.
+
+    Released MQ-Det checkpoints are DetectronCheckpointer saves
+    (reference utils/checkpoint.py:190-205): {"model": state_dict,
+    "model_ema": ema_state_dict, "optimizer": ..., "scheduler": ...} where
+    model_ema is a TOP-LEVEL SIBLING of "model" (trainer.py:214) and the
+    eval path prefers it (utils/ema.py:23-31). Keys may carry "module."
+    DataParallel prefixes; strip_prefixes handles those.
+    """
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(raw, dict) and "model" in raw:
+    if (
+        isinstance(raw, dict)
+        and isinstance(raw.get("model_ema"), dict)
+        and raw["model_ema"]
+    ):
+        raw = raw["model_ema"]
+    elif isinstance(raw, dict) and "model" in raw:
         raw = raw["model"]
     if isinstance(raw, dict) and "state_dict" in raw:
         raw = raw["state_dict"]

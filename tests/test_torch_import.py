@@ -77,3 +77,49 @@ def test_strip_prefixes_prefers_ema():
     }
     out = TI.strip_prefixes(state)
     np.testing.assert_array_equal(out["backbone.x"], np.zeros(2))
+
+
+def test_released_checkpoint_layout_fixture(tmp_path):
+    """End-to-end import of a .pth mimicking the RELEASED artifact layout
+    (reference utils/checkpoint.py:190-205 DetectronCheckpointer.save +
+    trainer.py:214): a dict with "model" (module.-prefixed, stale weights),
+    a top-level SIBLING "model_ema" (the weights eval actually uses,
+    utils/ema.py:23-31), plus optimizer/scheduler/iteration entries. The
+    importer must resolve it identically to importing the plain EMA state
+    dict directly."""
+    import torch
+
+    rules = TI.build_rule_table()
+    # a representative subset of real reference keys from the rule table
+    some = [ref for (ref, _tf) in list(rules.values())[:12]]
+    rng = np.random.default_rng(1)
+    ema, stale = {}, {}
+    for k in some:
+        ema[k] = torch.from_numpy(rng.standard_normal(4).astype(np.float32))
+        stale["module." + k] = torch.from_numpy(
+            np.full(4, 7.0, np.float32)
+        )
+    ckpt = {
+        "model": stale,
+        "model_ema": {"module." + k: v for k, v in ema.items()},
+        "optimizer": {"state": {}, "param_groups": []},
+        "scheduler": {"last_epoch": 3},
+        "iteration": 90000,
+    }
+    path = tmp_path / "released_layout.pth"
+    torch.save(ckpt, path)
+
+    loaded = TI.strip_prefixes(TI.load_torch_state_dict(str(path)))
+    want = {k: v.numpy() for k, v in ema.items()}
+    assert set(loaded) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(loaded[k], want[k])
+
+    # without model_ema, the model entry (module.-stripped) must be used
+    ckpt2 = {"model": stale, "iteration": 1}
+    path2 = tmp_path / "plain_layout.pth"
+    torch.save(ckpt2, path2)
+    loaded2 = TI.strip_prefixes(TI.load_torch_state_dict(str(path2)))
+    assert set(loaded2) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(loaded2[k], np.full(4, 7.0, np.float32))
