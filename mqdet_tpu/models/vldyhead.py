@@ -52,6 +52,20 @@ class DeformConvGN(nn.Module):
     Uses the gather-free window formulation (ops/deform_conv.py
     modulated_deform_conv_window) — per-element gathers are pathologically
     slow on TPU; the window form runs the sampling contraction on the MXU.
+
+    `x` may be a LIST of per-level feature maps (with matching offset/mask
+    lists); levels with <= merge_max_positions output positions can be
+    zero-padded onto a common canvas and run as ONE Pallas call (weights
+    are shared across levels). Per-item numerics are unchanged: batch
+    entries are independent in the kernel, offsets are edge-padded so
+    shift bounds stay tight, outputs are cropped before GN (parity test:
+    tests/test_dcn_seam.py::test_merged_canvas_matches_individual).
+
+    MEASURED NEGATIVE on v5e (round 5, PERF.md): merging {P6,P7} (+ the
+    stride-2 pair) saved 3 custom-call barriers/stage but the padded-canvas
+    steps and concat/pad prep cost more — head 174.9 -> 181.1 ms/group,
+    protocol 1224 -> 1248 ms. merge_max_positions therefore defaults to 0
+    (per-level calls); the machinery stays for future geometries.
     """
 
     features: int
@@ -64,18 +78,11 @@ class DeformConvGN(nn.Module):
     # the released checkpoints were trained with; "resample" bilinearly
     # resamples the offset field to the output grid (cleaner, off-reference).
     offset_compat: str = "strided"
+    # levels with <= this many output positions merge onto one canvas
+    merge_max_positions: int = 0
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, offset, mask):
-        import os
-
-        import jax
-
-        w = self.param(
-            "kernel", nn.initializers.normal(0.01), (3, 3, x.shape[-1], self.features)
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+    def _prep_offsets(self, x, offset, mask):
         ho = -(-x.shape[1] // self.stride)
         wo = -(-x.shape[2] // self.stride)
         if offset.shape[1] != ho or offset.shape[2] != wo:
@@ -89,6 +96,31 @@ class DeformConvGN(nn.Module):
                 offset, mask = reinterpret_offsets_strided(offset, mask, ho, wo)
             else:
                 offset, mask = resize_offsets(offset, mask, ho, wo)
+        return offset, mask, ho, wo
+
+    @nn.compact
+    def __call__(self, x, offset, mask):
+        import os
+
+        import jax
+
+        x_is_list = isinstance(x, (list, tuple))
+        xs = list(x) if x_is_list else [x]
+        offs, msks = (
+            (list(offset), list(mask)) if x_is_list else ([offset], [mask])
+        )
+
+        w = self.param(
+            "kernel", nn.initializers.normal(0.01),
+            (3, 3, xs[0].shape[-1], self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        gn = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")
+
+        prepped = []
+        for xi, oi, mi in zip(xs, offs, msks):
+            oi, mi, ho, wo = self._prep_offsets(xi, oi, mi)
+            prepped.append((xi, oi, mi, ho, wo))
 
         # Implementation dispatch (MQDET_DEFORM_IMPL=pallas|window|gather):
         #   pallas — VMEM-resident Pallas kernel (default on TPU: compiles in
@@ -106,27 +138,76 @@ class DeformConvGN(nn.Module):
         # measured ~92 ms/protocol across the tower (round-5 device trace,
         # PERF.md) vs microseconds for the same shapes in the kernel.
         impl = os.environ.get("MQDET_DEFORM_IMPL", "pallas")
-        c_in = x.shape[-1]
-        pallas_ok = c_in % 128 == 0
-        args = (
-            x, offset.astype(x.dtype), mask.astype(x.dtype),
-            w.astype(x.dtype), b.astype(x.dtype),
+        c_in = xs[0].shape[-1]
+        # pallas_interpret: force the kernel (interpret mode) on CPU — used
+        # by the merged-canvas parity test, mirroring MQDET_MSDA_IMPL.
+        use_pallas = c_in % 128 == 0 and (
+            impl == "pallas_interpret"
+            or (impl == "pallas" and jax.default_backend() != "cpu")
         )
-        if impl == "gather":
-            y = modulated_deform_conv(*args, stride=self.stride)
-        elif jax.default_backend() == "cpu" or impl == "window" or not pallas_ok:
-            y = modulated_deform_conv_window(
-                *args, stride=self.stride, radius=self.radius
+
+        def conv_one(xi, oi, mi):
+            args = (
+                xi, oi.astype(xi.dtype), mi.astype(xi.dtype),
+                w.astype(xi.dtype), b.astype(xi.dtype),
             )
-        else:
+            if impl == "gather":
+                return modulated_deform_conv(*args, stride=self.stride)
+            if not use_pallas:
+                return modulated_deform_conv_window(
+                    *args, stride=self.stride, radius=self.radius
+                )
             # block_rows: 16 measured faster at the stride-1 level-0 shape
             # (5.68 vs 5.90 ms rand / 5.56 vs 5.76 smooth, perf_dcn_sweep
             # round 5); 8 faster at ho=50 (L1: 0.79 vs 1.08 ms).
-            y = modulated_deform_conv_pallas(
+            return modulated_deform_conv_pallas(
                 *args, stride=self.stride, radius=self.radius,
-                block_rows=16 if ho >= 100 else 8,
+                block_rows=16 if xi.shape[1] // self.stride >= 100 else 8,
+                interpret=impl == "pallas_interpret",
             )
-        return nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="gn")(y)
+
+        # partition: small levels merge onto one canvas (pallas path only)
+        merged_idx = [
+            i for i, (_, _, _, ho, wo) in enumerate(prepped)
+            if ho * wo <= self.merge_max_positions
+        ]
+        outs = [None] * len(prepped)
+        if use_pallas and len(merged_idx) > 1:
+            s = self.stride
+            ch = max(prepped[i][0].shape[1] for i in merged_idx)
+            cw = max(prepped[i][0].shape[2] for i in merged_idx)
+            cho, cwo = -(-ch // s), -(-cw // s)
+            xs_c, os_c, ms_c = [], [], []
+            for i in merged_idx:
+                xi, oi, mi, ho, wo = prepped[i]
+                xs_c.append(jnp.pad(
+                    xi, ((0, 0), (0, ch - xi.shape[1]),
+                         (0, cw - xi.shape[2]), (0, 0))))
+                # offsets edge-pad: padded positions reuse a real row's
+                # offsets so per-block shift bounds stay tight (their output
+                # is cropped); mask zero-pads are irrelevant for the crop.
+                os_c.append(jnp.pad(
+                    oi, ((0, 0), (0, cho - ho), (0, cwo - wo), (0, 0)),
+                    mode="edge"))
+                ms_c.append(jnp.pad(
+                    mi, ((0, 0), (0, cho - ho), (0, cwo - wo), (0, 0))))
+            y_all = conv_one(
+                jnp.concatenate(xs_c, axis=0),
+                jnp.concatenate(os_c, axis=0),
+                jnp.concatenate(ms_c, axis=0),
+            )
+            bsz = prepped[merged_idx[0]][0].shape[0]
+            for j, i in enumerate(merged_idx):
+                _, _, _, ho, wo = prepped[i]
+                outs[i] = y_all[j * bsz : (j + 1) * bsz, :ho, :wo]
+        else:
+            merged_idx = []
+        for i, (xi, oi, mi, _, _) in enumerate(prepped):
+            if outs[i] is None:
+                outs[i] = conv_one(xi, oi, mi)
+
+        outs = [gn(y) for y in outs]
+        return outs if x_is_list else outs[0]
 
 
 class PlainConvGN(nn.Module):
@@ -197,23 +278,42 @@ class DyConv(nn.Module):
         )
 
         num_levels = len(feats)
+        if self.use_deform:
+            oms = [offset_conv(f) for f in feats]
+            offsets = [om[..., :18] for om in oms]
+            masks = [nn.sigmoid(om[..., 18:27]) for om in oms]
+        else:
+            offsets = masks = [None] * num_levels
+
+        # One batched call per conv member (weights are shared across
+        # levels): DeformConvGN merges the smallest levels into a single
+        # Pallas dispatch instead of one custom-call barrier per level.
+        # Work lists mirror the per-level loop: mid at L with L's offsets,
+        # lo over feats[L-1] with L's offsets, hi over feats[L+1] with L's
+        # offsets (vldyhead.py:218-227).
+        if self.use_deform:
+            mid_out = conv_mid(feats, offsets, masks)
+            lo_out = conv_lo(
+                feats[:-1], offsets[1:], masks[1:]
+            )  # lo_out[l-1] feeds level l
+            hi_out = conv_hi(
+                feats[1:], offsets[:-1], masks[:-1]
+            )  # hi_out[l] feeds level l
+        else:
+            mid_out = [conv_mid(f, None, None) for f in feats]
+            lo_out = [conv_lo(f, None, None) for f in feats[:-1]]
+            hi_out = [conv_hi(f, None, None) for f in feats[1:]]
+
         outs = []
         for level, feature in enumerate(feats):
-            if self.use_deform:
-                om = offset_conv(feature)
-                offset = om[..., :18]
-                mask = nn.sigmoid(om[..., 18:27])
-                args = (offset, mask)
-            else:
-                args = (None, None)
-
-            temp = [conv_mid(feature, *args)]
+            temp = [mid_out[level]]
             if level > 0:
-                temp.append(conv_lo(feats[level - 1], *args))
+                temp.append(lo_out[level - 1])
             if level < num_levels - 1:
-                up = conv_hi(feats[level + 1], *args)
                 temp.append(
-                    upsample_bilinear(up, feature.shape[1], feature.shape[2])
+                    upsample_bilinear(
+                        hi_out[level], feature.shape[1], feature.shape[2]
+                    )
                 )
 
             # AttnConv = avgpool -> 1x1 conv -> relu -> h_sigmoid per member

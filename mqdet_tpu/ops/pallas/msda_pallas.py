@@ -59,7 +59,14 @@ from mqdet_tpu.ops.ms_deform_attn import _bilinear_sample_nhwc
 # (k >= 4, i.e. the two coarsest levels) route to the gather composite:
 # their value tables are tiny (high gather locality) while a window wide
 # enough to stay exact there would blow the VMEM band budget.
-DEFAULT_RADIUS_FOR_K = {1: 4, 2: 4}
+# clip radius (in VALUE-level pixels) per query/value downsample ratio k.
+# k=1,2: r=4 comfortably covers GDINO's sampling_offsets init (unit-circle
+# bias x point index <= P=4) and trained fields. k=4,8 (coarse levels from
+# level-0/1 queries at an exact power-of-two pyramid): r=2 — the window in
+# query pixels is k*(r+1) wide, so larger radii at k=8 would blow the band
+# DMA footprint; offsets beyond the window clip (the documented contract,
+# same as DCN; utils/calibrate.py applies to DCN only).
+DEFAULT_RADIUS_FOR_K = {1: 4, 2: 4, 4: 2, 8: 2}
 
 
 def _round_up(x: int, m: int) -> int:
@@ -207,7 +214,7 @@ def ms_deform_attn_encoder(
     sampling_locations: jnp.ndarray,     # (B, S, nh, L, P, 2) queries=pixels
     attention_weights: jnp.ndarray,      # (B, S, nh, L, P)
     radius_for_k: Dict[int, int] | None = None,
-    pallas_query_levels: Sequence[int] = (0, 1),
+    pallas_query_levels: Sequence[int] = (0, 1, 2, 3),
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Encoder MSDA: pallas window kernel for (lq, lv>=lq) pairs with exact
@@ -349,6 +356,13 @@ def ms_deform_attn_encoder(
                 pltpu.VMEM((band_rows_max, wband, c), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
+            # default Mosaic scoped-vmem budget is 16 MiB; at the GDINO
+            # protocol's enc_layer shapes ((84,112) level-0, CP=4, f32)
+            # the kernel's temporaries need 16.77 MiB and the compile
+            # fails on-chip (found by the round-5 bench_models run).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
             interpret=interpret,
         )(rel_y_p, rel_x_p, attn_p, jnp.asarray(gc), a_maps)
 

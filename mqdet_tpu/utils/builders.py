@@ -38,6 +38,14 @@ def mq_groundingdino_t_config() -> CfgNode:
     cfg.MODEL.META_ARCHITECTURE = "MQGroundingDINO"
     cfg.GROUNDINGDINO.enabled = True
     cfg.VISION_QUERY.ENABLED = True
+    # (832, 1408) instead of the GLIP (800, 1344) bucket: GDINO's MSDA
+    # Pallas kernel needs EXACT power-of-two level ratios; 800x1344 yields
+    # a 25->13 ceil at stride 64 and every pair involving that level falls
+    # to the per-element XLA gather composite — measured 10.5 s/protocol
+    # (round-5 trace, PERF.md). 832x1408 = divisibility 128 gives
+    # 104/52/26/13 x 176/88/44/22. The 9% extra padded area is masked
+    # (reference pads to SIZE_DIVISIBILITY anyway; masks carry validity).
+    cfg.TPU.IMAGE_BUCKETS = ((832, 1408),)
     return cfg
 
 

@@ -132,3 +132,44 @@ def test_calibration_decision_raises_radius():
     assert int(math.ceil(3.4 + 1.0)) == 5
     assert int(math.ceil(3.4 + 1.0)) <= cal.MAX_WINDOW_RADIUS
     assert int(math.ceil(9.5 + 1.0)) > cal.MAX_WINDOW_RADIUS
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_merged_canvas_matches_individual(monkeypatch, stride):
+    """DeformConvGN list mode: the merged-small-levels Pallas dispatch must
+    equal per-level individual window convs (same weights) — padding,
+    edge-padded offsets, and output cropping are numerics-inert."""
+    from flax import linen as nn_
+    from mqdet_tpu.models.vldyhead import DeformConvGN
+
+    rng = np.random.default_rng(3)
+    c = 128
+    shapes = [(13, 21), (7, 11)]  # both under merge_max_positions
+    xs, offs, msks = [], [], []
+    for h, w in shapes:
+        ho, wo = -(-h // stride), -(-w // stride)
+        xs.append(jnp.asarray(
+            rng.standard_normal((2, h, w, c)).astype(np.float32)))
+        offs.append(jnp.asarray(
+            (rng.standard_normal((2, ho, wo, 18)) * 0.8).astype(np.float32)))
+        msks.append(jnp.asarray(
+            rng.uniform(0, 1, (2, ho, wo, 9)).astype(np.float32)))
+
+    # default merge_max_positions is 0 (merge measured negative, PERF.md
+    # round 5); enable it explicitly so the canvas path stays verified
+    mod = DeformConvGN(
+        features=c, stride=stride, groups=8, merge_max_positions=600
+    )
+    params = mod.init(jax.random.PRNGKey(0), xs, offs, msks)
+
+    monkeypatch.setenv("MQDET_DEFORM_IMPL", "pallas_interpret")
+    merged = mod.apply(params, xs, offs, msks)
+    monkeypatch.setenv("MQDET_DEFORM_IMPL", "window")
+    individual = [
+        mod.apply(params, x_, o_, m_) for x_, o_, m_ in zip(xs, offs, msks)
+    ]
+    assert len(merged) == len(individual)
+    for got, want in zip(merged, individual):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )

@@ -63,7 +63,7 @@ def bench_one(name: str, cfg, chunk_batch: int, iters: int = 12):
         build_model, init_params_fast, synthetic_batch,
     )
 
-    image_hw = (800, 1344)
+    image_hw = tuple(cfg.TPU.IMAGE_BUCKETS[0])  # per-model eval bucket
     n_groups = -(-CHUNKS_PER_IMAGE // chunk_batch)
     model = build_model(cfg)
     batch = synthetic_batch(
@@ -124,7 +124,9 @@ def bench_one(name: str, cfg, chunk_batch: int, iters: int = 12):
             k: round(enc_pallas.get(k, 0.0) + n_groups * v)
             for k, v in head_pallas.items()
         },
-        "operating_point": "LVIS 31-chunk protocol, 800x1344, bank k=5",
+        "operating_point": (
+            f"LVIS 31-chunk protocol, {image_hw[0]}x{image_hw[1]}, bank k=5"
+        ),
         "timed_iters": iters,
     }), flush=True)
 
