@@ -96,13 +96,15 @@ def _kernel(
     rs: Tuple[int, ...],
     pad_xg: int,
     pad_yg: int,
+    slopes: Tuple[float, ...] = (),
 ):
     b = pl.program_id(0)
     blk = pl.program_id(1)
     n = br * wp2
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    slopes = slopes or (1.0,) * len(ks)
 
-    for li, (k, r) in enumerate(zip(ks, rs)):
+    for li, (k, r, slope) in enumerate(zip(ks, rs, slopes)):
         rows_lv = br + 2 * k * (r + 1)
         # band row 0 = global query row blk*br - k*(r+1); A carries pad_yg
         # top zero-rows so the source index stays >= 0
@@ -128,13 +130,19 @@ def _kernel(
         # provably 8-aligned (coff varies by +-k, so it is not) but an
         # arbitrary STATIC offset lowers fine (sublane rotate) — the x
         # window is therefore statically unrolled (win cells).
-        def yrow(i, _, k=k, r=r, ry=ry, rx=rx, at=at):
+        # slope > 1 marks a PHASE PLANE of a finer value level (f = slope):
+        # the hat in value units is max(0, 1 - f*|rel_plane - d|) — see
+        # the finer-pair notes in ms_deform_attn_encoder.
+        def yrow(i, _, k=k, r=r, ry=ry, rx=rx, at=at, slope=slope):
             hy = jnp.maximum(
-                0.0, 1.0 - jnp.abs(ry - (i.astype(jnp.float32) - r))
+                0.0,
+                1.0 - slope * jnp.abs(ry - (i.astype(jnp.float32) - r)),
             )
             roff = k * i + k  # k*(r+1) + k*(i - r)
             for ex in range(-r, r + 2):
-                hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx - float(ex)))
+                hx = jnp.maximum(
+                    0.0, 1.0 - slope * jnp.abs(rx - float(ex))
+                )
                 w = at * hy * hx                          # (N, nhp)
                 wc = jax.lax.dot_general(
                     w, gc_ref[...],
@@ -208,6 +216,37 @@ def _rel_coords(
     return jnp.clip(rel, -float(r), float(r) + 1.0)
 
 
+# finer (lv < lq) pairs with value/query ratio f: clip radius in VALUE
+# pixels and the per-phase-plane window radius (plane cells). Only f=2 is
+# decomposed (f^2 phase planes each cost nh*P lanes; f=4 would need 16).
+FINER_RV = 3
+FINER_REFF = 2
+
+
+def _rel_coords_finer(
+    loc: jnp.ndarray,      # query axis at position 1
+    n_value: int,          # Hv or Wv (= f * n_query)
+    f: int,
+    phase: int,            # plane offset in value cells (0..f-1)
+    n_query: int,
+) -> jnp.ndarray:
+    """Plane-relative sampling coordinate for a phase plane of a FINER
+    value level. Plane cell j holds value cell f*j + phase; for query
+    coordinate y the natural sampling center is f*(y+0.5) - 0.5, and the
+    value coordinate is clipped to +-FINER_RV around it. rel_plane is
+    measured from plane cell y, and the kernel evaluates the hat with
+    slope f so that 1 - f*|rel_plane - d| == 1 - |s - (f*(y+d)+phase)|
+    exactly (the value-unit bilinear hat)."""
+    s = loc * n_value - 0.5
+    idx = np.arange(n_query, dtype=np.float32)
+    center = f * (idx + 0.5) - 0.5
+    shape = [1] * loc.ndim
+    shape[1] = n_query
+    center = jnp.asarray(center).reshape(shape)
+    s = jnp.clip(s, center - FINER_RV, center + FINER_RV + 1.0)
+    return (s - phase) / f - jnp.asarray(idx).reshape(shape)
+
+
 def ms_deform_attn_encoder(
     value: jnp.ndarray,                  # (B, S, nh, hd)
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -217,10 +256,13 @@ def ms_deform_attn_encoder(
     pallas_query_levels: Sequence[int] = (0, 1, 2, 3),
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Encoder MSDA: pallas window kernel for (lq, lv>=lq) pairs with exact
-    power-of-two ratios, gather composite for the rest. Returns
-    (B, S, nh*hd), numerically the composite's result with sampling
-    locations clipped to the per-level window."""
+    """Encoder MSDA: pallas window kernel for (lq, lv) pairs with exact
+    power-of-two ratios — coarser/equal levels directly, 2x-FINER levels
+    via 4 phase planes with slope-2 hats — and the gather composite for
+    the rest (>=4x-finer pairs, non-exact ratios, levels outside
+    pallas_query_levels). Returns (B, S, nh*hd), numerically the
+    composite's result with sampling locations clipped to the per-level
+    window (coarse: +-radius_for_k cells; finer: +-FINER_RV value px)."""
     radius_for_k = radius_for_k or DEFAULT_RADIUS_FOR_K
     b, s, nh, hd = value.shape
     num_levels = len(spatial_shapes)
@@ -256,44 +298,75 @@ def ms_deform_attn_encoder(
         if lq not in pallas_query_levels:
             continue
         hq, wq = spatial_shapes[lq]
-        lvs, ks, rs = [], [], []
-        for lv in range(lq, num_levels):
-            k = ratio(hq, wq, *spatial_shapes[lv])
-            if k is not None:
-                lvs.append(lv)
+        q0, q1 = starts[lq], starts[lq + 1]
+        loc_q = sampling_locations[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p, 2)
+        attn_q = attention_weights[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p)
+
+        # Entry list: coarse (lv >= lq, exact ratio) levels ride the band
+        # kernel directly; FINER levels with f = hv/hq == 2 decompose into
+        # f^2 phase planes — each plane is exactly query resolution, so it
+        # enters the same machinery as a k=1 level whose hat has slope f
+        # (see _rel_coords_finer). f >= 4 pairs stay on gather (16 planes
+        # would cost 16*nh*P lanes).
+        vmaps, ks, rs, slopes = [], [], [], []
+        rel_ys, rel_xs, attns = [], [], []
+        n_pairs = 0
+        for lv in range(num_levels):
+            hv, wv = spatial_shapes[lv]
+            if lv >= lq:
+                k = ratio(hq, wq, hv, wv)
+                if k is None:
+                    continue
+                r = radius_for_k[k]
+                vmaps.append(value_maps[lv])
                 ks.append(k)
-                rs.append(radius_for_k[k])
-        if not lvs:
-            continue
-        for lv in lvs:
+                rs.append(r)
+                slopes.append(1.0)
+                rel_ys.append(_rel_coords(loc_q[..., lv, :, 1], hv, k, r, hq))
+                rel_xs.append(
+                    _rel_coords(
+                        loc_q[..., lv, :, 0].transpose(0, 2, 1, 3, 4), wv,
+                        k, r, wq
+                    ).transpose(0, 2, 1, 3, 4)
+                )
+                attns.append(attn_q[..., lv, :])
+            else:
+                if hv != 2 * hq or wv != 2 * wq:
+                    continue
+                f = 2
+                v_l = value_maps[lv]
+                ry_f = [
+                    _rel_coords_finer(loc_q[..., lv, :, 1], hv, f, py, hq)
+                    for py in range(f)
+                ]
+                rx_f = [
+                    _rel_coords_finer(
+                        loc_q[..., lv, :, 0].transpose(0, 2, 1, 3, 4), wv,
+                        f, px, wq
+                    ).transpose(0, 2, 1, 3, 4)
+                    for px in range(f)
+                ]
+                for py in range(f):
+                    for px in range(f):
+                        vmaps.append(v_l[:, py::f, px::f])
+                        ks.append(1)
+                        rs.append(FINER_REFF)
+                        slopes.append(float(f))
+                        rel_ys.append(ry_f[py])
+                        rel_xs.append(rx_f[px])
+                        attns.append(attn_q[..., lv, :])
             gather_mask[lq, lv] = False
-        lp = len(lvs)
+            n_pairs += 1
+        if not vmaps:
+            continue
+        lp = len(vmaps)
         lanes = lp * nhp
         pad_g = max(k_ * (r_ + 1) for k_, r_ in zip(ks, rs))
         br = max(8, _round_up(1024 // max(wq, 1), 8))
         wp2 = _round_up(wq, 8)
         a_maps, hpad, wband, n_blocks = _prep_level_group(
-            [value_maps[lv] for lv in lvs], tuple(ks), tuple(rs),
-            hq, wq, br, pad_g, pad_g,
+            vmaps, tuple(ks), tuple(rs), hq, wq, br, pad_g, pad_g,
         )
-
-        # rel / attn packed (B, n_blocks*br, wp2, lanes) lv-major lanes
-        q0, q1 = starts[lq], starts[lq + 1]
-        loc_q = sampling_locations[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p, 2)
-        attn_q = attention_weights[:, q0:q1].reshape(b, hq, wq, nh, num_levels, p)
-        rel_ys, rel_xs, attns = [], [], []
-        for lv, k_, r_ in zip(lvs, ks, rs):
-            hv, wv = spatial_shapes[lv]
-            rel_ys.append(
-                _rel_coords(loc_q[..., lv, :, 1], hv, k_, r_, hq)
-            )
-            rel_xs.append(
-                _rel_coords(
-                    loc_q[..., lv, :, 0].transpose(0, 2, 1, 3, 4), wv, k_,
-                    r_, wq
-                ).transpose(0, 2, 1, 3, 4)
-            )
-            attns.append(attn_q[..., lv, :])
 
         def pack(parts):
             x = jnp.stack(parts, axis=3)              # (B,Hq,Wq,Lp,nh,P)
@@ -320,11 +393,12 @@ def ms_deform_attn_encoder(
         from mqdet_tpu.utils import flop_count
 
         flop_count.add(
-            "msda_pallas", b * hq * wq * nh * lp * p * hd * 10.0
+            "msda_pallas", b * hq * wq * nh * n_pairs * p * hd * 10.0
         )
         kernel = functools.partial(
             _kernel, br=br, wp2=wp2, c=c, nhp=nhp, ks=tuple(ks),
             rs=tuple(rs), pad_xg=pad_g, pad_yg=pad_g,
+            slopes=tuple(slopes),
         )
         out = pl.pallas_call(
             kernel,

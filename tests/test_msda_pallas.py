@@ -63,8 +63,9 @@ def test_encoder_pallas_matches_composite(rng):
 
 
 def test_encoder_pallas_all_query_levels(rng):
-    """lq=2,3 sample FINER levels through the gather fallback; totals must
-    still match the composite."""
+    """All query levels on the kernel path: coarser/equal pairs ride the
+    band kernel, 2x-finer pairs ride the slope-2 phase planes, >=4x-finer
+    pairs the gather fallback; totals must match the composite."""
     value, loc, attn = _encoder_inputs(rng, SHAPES)
     want = ms_deform_attn_sample(value, SHAPES, loc, attn)
     got = ms_deform_attn_encoder(

@@ -12,6 +12,7 @@ Prints one JSON line per batch size.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -37,6 +38,11 @@ def main():
     image_hw = (800, 1344)
 
     cfg = mq_glip_t_config()
+    # activation recomputation per tower stage: without it the backward's
+    # live set (DCN-window im2col VJP buffers x 6 stages) exceeds v5e HBM
+    # at batch 2 (measured RESOURCE_EXHAUSTED, round 5) — the reference
+    # trains with gradient checkpointing on too (USE_CHECKPOINT).
+    cfg.TPU.REMAT = bool(int(os.environ.get("MQDET_TRAIN_REMAT", "1")))
     model = build_model(cfg)
 
     for bs in batches:
@@ -109,6 +115,7 @@ def main():
         p50 = statistics.median(ts) * 1000.0
         print(json.dumps({
             "batch": bs,
+            "remat": bool(cfg.TPU.REMAT),
             "step_p50_ms": round(p50, 1),
             "train_img_per_sec_chip": round(bs * 1000.0 / p50, 3),
             "loss": round(float(m["loss_total"]), 4),
