@@ -83,8 +83,15 @@ def main():
             return model.apply(p, images, input_ids, attention_mask,
                                queries, query_mask, **kw)
 
-        train_step = make_train_step(
-            apply_fn, merge, tx, jnp.asarray(anchors), level_sizes, cfg
+        # same jit discipline as the production trainer (engine/trainer.py:71):
+        # donating the state lets XLA alias old->new params/opt (3.3 GB) —
+        # without it (or unjitted, as this tool originally ran) the step
+        # holds two states + temps and RESOURCE_EXHAUSTs the 16 GB chip.
+        train_step = jax.jit(
+            make_train_step(
+                apply_fn, merge, tx, jnp.asarray(anchors), level_sizes, cfg
+            ),
+            donate_argnums=(0,),
         )
         rng = jax.random.PRNGKey(7)
 
