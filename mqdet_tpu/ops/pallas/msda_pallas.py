@@ -79,6 +79,8 @@ def _base_cells(n_query: int, k: int, n_value: int) -> np.ndarray:
 
 
 def _kernel(
+    bounds_ref, # SMEM (1, 1, Lp, 4) i32 per level [y0, y1, x0, x1] —
+                # y in loop-index space (i = d + r), x in d-space, inclusive
     rely_ref,   # (1, N, LANES) f32 rel_y per (lv-major, head, point) lane
     relx_ref,   # (1, N, LANES)
     attn_ref,   # (1, N, LANES) softmaxed weights (pallas-covered lanes only)
@@ -119,43 +121,54 @@ def _kernel(
         ry = rely_ref[0, :, li * nhp : (li + 1) * nhp]   # (N, nhp)
         rx = relx_ref[0, :, li * nhp : (li + 1) * nhp]
         at = attn_ref[0, :, li * nhp : (li + 1) * nhp]
+        y0 = bounds_ref[0, 0, li, 0]
+        y1 = bounds_ref[0, 0, li, 1]
+        x0 = bounds_ref[0, 0, li, 2]
+        x1 = bounds_ref[0, 0, li, 3]
         dma.wait()
-
-        win = 2 * r + 2
 
         # Loop structure is dictated by Mosaic's slicing rules on the 3-D
         # band (rows, wband, c): dim 0 (rows) is untiled, so a DYNAMIC
-        # offset is fine there — the y window stays a fori_loop. dim 1
-        # (wband) is the sublane dim, where a dynamic offset must be
-        # provably 8-aligned (coff varies by +-k, so it is not) but an
-        # arbitrary STATIC offset lowers fine (sublane rotate) — the x
-        # window is therefore statically unrolled (win cells).
+        # offset is fine there — the y window is a fori_loop over the
+        # per-(block, level) host-computed bounds (same design as the DCN
+        # kernel: the static worst-case window is 10x10 at r=4 while real
+        # sampling fields typically span 2-4 cells, and each cell here
+        # pays an (N, nhp) x (nhp, C) MXU matmul). dim 1 (wband) is the
+        # sublane dim, where a dynamic offset must be provably 8-aligned
+        # (coff varies by +-k, so it is not) but an arbitrary STATIC
+        # offset lowers fine (sublane rotate) — the x window is therefore
+        # statically unrolled with a pl.when guard per cell.
         # slope > 1 marks a PHASE PLANE of a finer value level (f = slope):
         # the hat in value units is max(0, 1 - f*|rel_plane - d|) — see
         # the finer-pair notes in ms_deform_attn_encoder.
-        def yrow(i, _, k=k, r=r, ry=ry, rx=rx, at=at, slope=slope):
+        def yrow(i, _, k=k, r=r, ry=ry, rx=rx, at=at, slope=slope,
+                 x0=x0, x1=x1):
             hy = jnp.maximum(
                 0.0,
                 1.0 - slope * jnp.abs(ry - (i.astype(jnp.float32) - r)),
             )
             roff = k * i + k  # k*(r+1) + k*(i - r)
             for ex in range(-r, r + 2):
-                hx = jnp.maximum(
-                    0.0, 1.0 - slope * jnp.abs(rx - float(ex))
-                )
-                w = at * hy * hx                          # (N, nhp)
-                wc = jax.lax.dot_general(
-                    w, gc_ref[...],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )                                         # (N, C)
-                coff = pad_xg + k * ex
-                v = band[pl.ds(roff, br), coff : coff + wp2, :]
-                out_ref[0] += wc * v.reshape(n, c)
+
+                @pl.when((x0 <= ex) & (ex <= x1))
+                def _(ex=ex):
+                    hx = jnp.maximum(
+                        0.0, 1.0 - slope * jnp.abs(rx - float(ex))
+                    )
+                    w = at * hy * hx                      # (N, nhp)
+                    wc = jax.lax.dot_general(
+                        w, gc_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                     # (N, C)
+                    coff = pad_xg + k * ex
+                    v = band[pl.ds(roff, br), coff : coff + wp2, :]
+                    out_ref[0] += wc * v.reshape(n, c)
+
             return 0
 
-        jax.lax.fori_loop(0, win, yrow, 0)
+        jax.lax.fori_loop(y0, y1 + 1, yrow, 0)
 
 
 def _prep_level_group(
@@ -379,6 +392,35 @@ def ms_deform_attn_encoder(
 
         rel_y_p, rel_x_p, attn_p = map(pack, (rel_ys, rel_xs, attns))
 
+        # per-(block, level) inclusive shift bounds (the DCN kernel's trick,
+        # deform_conv_pallas.py:463-478): hat(rel - d) != 0 only for
+        # d in {floor(rel)} ∪ {floor(rel)+1 if fractional} — a SUPERSET for
+        # slope-f plane hats, whose support is narrower. Blocks whose
+        # sampling fields span 2-4 cells then skip most of the static
+        # worst-case window (10x10 at r=4).
+        def entry_bounds(rel, r_):
+            e = jnp.pad(
+                rel, ((0, 0), (0, n_blocks * br - hq), (0, 0), (0, 0),
+                      (0, 0)),
+                mode="edge",
+            ).reshape(b, n_blocks, br, wq, nh, p)
+            flo = jnp.floor(e)
+            lo = jnp.min(flo, axis=(2, 3, 4, 5)).astype(jnp.int32)
+            hi = jnp.max(flo + (e != flo), axis=(2, 3, 4, 5)).astype(
+                jnp.int32
+            )
+            return jnp.clip(lo, -r_, r_ + 1), jnp.clip(hi, -r_, r_ + 1)
+
+        bnd_cols = []
+        for rel_y, rel_x, r_ in zip(rel_ys, rel_xs, rs):
+            ylo, yhi = entry_bounds(rel_y, r_)
+            xlo, xhi = entry_bounds(rel_x, r_)
+            # y bounds move to loop-index space (i = d + r)
+            bnd_cols.append(
+                jnp.stack([ylo + r_, yhi + r_, xlo, xhi], axis=-1)
+            )
+        bounds = jnp.stack(bnd_cols, axis=2)  # (B, n_blocks, Lp, 4)
+
         gc = np.zeros((nhp, c), np.float32)
         for j in range(nhp):
             gc[j, (j // p) * hd : (j // p + 1) * hd] = 1.0
@@ -404,6 +446,10 @@ def ms_deform_attn_encoder(
             kernel,
             grid=(b, n_blocks),
             in_specs=[
+                pl.BlockSpec(
+                    (1, 1, lp, 4), lambda bi, i: (bi, i, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
                 pl.BlockSpec(
                     (1, n_blk, lanes), lambda bi, i: (bi, i, 0),
                     memory_space=pltpu.VMEM,
@@ -438,7 +484,7 @@ def ms_deform_attn_encoder(
                 vmem_limit_bytes=64 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(rel_y_p, rel_x_p, attn_p, jnp.asarray(gc), a_maps)
+        )(bounds, rel_y_p, rel_x_p, attn_p, jnp.asarray(gc), a_maps)
 
         out = out.reshape(b, n_blocks * br, wp2, c)[:, :hq, :wq]
         out_parts.append((q0, q1, out.reshape(b, hq * wq, c)))
