@@ -230,10 +230,16 @@ def _rel_coords(
 
 
 # finer (lv < lq) pairs with value/query ratio f: clip radius in VALUE
-# pixels and the per-phase-plane window radius (plane cells). Only f=2 is
-# decomposed (f^2 phase planes each cost nh*P lanes; f=4 would need 16).
+# pixels and the per-phase-plane window radius (plane cells). f=2 and f=4
+# are decomposed (4 / 16 phase planes, each nh*P lanes; with the dynamic
+# span bounds the mostly-empty plane windows cost almost nothing). f=8
+# (64 planes) stays on gather — only the 13x22-query level samples it.
+# Window exactness at these radii: the slope-f hat's support is 1/f plane
+# cells, so every cell outside [-r_eff, r_eff+1] has hat == 0 for every
+# reachable clipped rel (checked for both f at RV=3).
 FINER_RV = 3
-FINER_REFF = 2
+FINER_REFF = 2          # f=2
+FINER_REFF_BY_F = {2: 2, 4: 1}
 
 
 def _rel_coords_finer(
@@ -344,9 +350,13 @@ def ms_deform_attn_encoder(
                 )
                 attns.append(attn_q[..., lv, :])
             else:
-                if hv != 2 * hq or wv != 2 * wq:
+                if (
+                    hv % hq or wv % wq or hv // hq != wv // wq
+                    or hv // hq not in FINER_REFF_BY_F
+                ):
                     continue
-                f = 2
+                f = hv // hq
+                r_eff = FINER_REFF_BY_F[f]
                 v_l = value_maps[lv]
                 ry_f = [
                     _rel_coords_finer(loc_q[..., lv, :, 1], hv, f, py, hq)
@@ -363,7 +373,7 @@ def ms_deform_attn_encoder(
                     for px in range(f):
                         vmaps.append(v_l[:, py::f, px::f])
                         ks.append(1)
-                        rs.append(FINER_REFF)
+                        rs.append(r_eff)
                         slopes.append(float(f))
                         rel_ys.append(ry_f[py])
                         rel_xs.append(rx_f[px])
