@@ -256,3 +256,35 @@ def test_out_of_window_offsets_are_clipped(rng):
     want = ms_deform_attn_sample(value, shapes, jnp.asarray(loc_c), attn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_finer_pairs_ride_the_kernel_not_gather(rng):
+    """Routing guard: the (lq=1, lv=0) 2x-finer pair must run through the
+    phase-plane kernel path, not silently fall back to gather. Evidence:
+    with offsets far outside the FINER_RV clip window, the kernel CLIPS
+    (documented contract) while the gather composite samples unclipped —
+    the outputs must therefore DIFFER; and with in-window offsets they
+    must agree exactly."""
+    from mqdet_tpu.ops.pallas.msda_pallas import FINER_RV
+
+    shapes = [(8, 8), (4, 4)]
+    value, loc, attn = _encoder_inputs(rng, shapes, within_window=False)
+    got = ms_deform_attn_encoder(
+        value, shapes, loc, attn, pallas_query_levels=(1,), interpret=True
+    )
+    want_unclipped = ms_deform_attn_sample(value, shapes, loc, attn)
+    q1 = shapes[0][0] * shapes[0][1]
+    # lq=1 rows: the finer (1,0) pair clips at +-FINER_RV value px, so the
+    # +-6 px offsets above must change the result vs the unclipped gather
+    diff = np.abs(np.asarray(got[:, q1:]) - np.asarray(want_unclipped[:, q1:]))
+    assert diff.max() > 1e-3, "finer pair appears to ride gather (no clip)"
+
+    value2, loc2, attn2 = _encoder_inputs(rng, shapes, within_window=True)
+    got2 = ms_deform_attn_encoder(
+        value2, shapes, loc2, attn2, pallas_query_levels=(1,), interpret=True
+    )
+    want2 = ms_deform_attn_sample(value2, shapes, loc2, attn2)
+    np.testing.assert_allclose(
+        np.asarray(got2[:, q1:]), np.asarray(want2[:, q1:]),
+        rtol=2e-5, atol=2e-5,
+    )
