@@ -138,13 +138,15 @@ def main():
 
     which = sys.argv[1:] or ["glip_l", "gdino_t"]
     for name in which:
-        if name == "glip_l":
+        model, _, cp = name.partition(":")
+        cp = int(cp) if cp else 4
+        if model == "glip_l":
             cfg = mq_glip_l_config()
             cfg.MODEL.ATSS.DETECTIONS_PER_IMG = 300
-            bench_one("MQ-GLIP-L", cfg, chunk_batch=4)
-        elif name == "gdino_t":
+            bench_one("MQ-GLIP-L", cfg, chunk_batch=cp)
+        elif model == "gdino_t":
             cfg = mq_groundingdino_t_config()
-            bench_one("MQ-GroundingDINO-T", cfg, chunk_batch=4)
+            bench_one("MQ-GroundingDINO-T", cfg, chunk_batch=cp)
         else:
             raise SystemExit(f"unknown model {name}")
 
